@@ -1,13 +1,206 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kg.Pipeline
+import graft.kg.expr.AhoCorasickMatches
+import graft.kg.extract.{Extractors, Media}
+import graft.kg.io.{Dictionaries, SyntheticCorpus}
+import graft.kg.schema.Schemas.Pred
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query runs off the driver's parquet tables under `sfDir`
+  * (TESTDATA.md); the KG queries derive the canonical `postings` span table
+  * deterministically from `documents` (SyntheticCorpus), so each extraction
+  * result is computable analytically — that is what the DuckDB oracles below
+  * do: they state the *expected* triples as closed-form arithmetic over
+  * doc_id, independently of the Spark extraction code paths they verify.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("kg_all_triples")(spark, "/root/testdata/sf0.001")
+
+  private def spans(s: SparkSession, dir: String): DataFrame =
+    Extractors.textSpans(SyntheticCorpus.postings(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- derivation sanity: span/media counts per doc ------------------------
+    "kg_postings_stats" -> ((s, dir) => {
+      SyntheticCorpus.postings(s, dir).select(
+        col("doc_id").as("subj"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(filter(col("spans"), x => x.getField("kind") === "media"))
+          .cast("long").as("n_media"))
+    }),
+    // -- R5 workload regex ---------------------------------------------------
+    "kg_workload" -> ((s, dir) =>
+      Pipeline.workloadTriples(spans(s, dir))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R4/R7 skill mentions: broadcast n-gram join -------------------------
+    "kg_skills" -> ((s, dir) =>
+      Pipeline.skillTriples(spans(s, dir), Dictionaries.skillsDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- same result through the skew-salted shuffle-join path ---------------
+    "kg_skills_salted" -> ((s, dir) =>
+      Pipeline.skillTriplesSalted(spans(s, dir), Dictionaries.skillsDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- same result through the broadcast Aho-Corasick trie expression ------
+    "kg_skills_trie" -> ((s, dir) => {
+      val aho = AhoCorasickMatches.matcher(
+        s, Dictionaries.gazSkills.map(g => (g.surface, g.entity_id)))
+      spans(s, dir).where(col("kind") === "li")
+        .select(col("doc_id"), explode(aho(col("text"))).as("m"))
+        .select(col("doc_id").as("subj"), lit(Pred.requiresSkill).as("pred"),
+          col("m.entity_id").as("obj"))
+        .distinct()
+    }),
+    // -- R6 languages --------------------------------------------------------
+    "kg_languages" -> ((s, dir) =>
+      Pipeline.languageTriples(spans(s, dir), Dictionaries.languagesDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R9 locations --------------------------------------------------------
+    "kg_locations" -> ((s, dir) =>
+      Pipeline.locationTriples(spans(s, dir), Dictionaries.locationsDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R8 company (legal-suffix regex + frequency argmax) ------------------
+    "kg_company" -> ((s, dir) =>
+      Pipeline.companyTriples(spans(s, dir), Dictionaries.companiesDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R3/R10/R11 title (exact + Jaro-Winkler fuzzy + argmax) --------------
+    "kg_title" -> ((s, dir) =>
+      Pipeline.titleTriples(spans(s, dir), Dictionaries.titlesDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R12 full union, dedup ----------------------------------------------
+    "kg_all_triples" -> ((s, dir) =>
+      Pipeline.allTriples(
+        SyntheticCorpus.postings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj"))),
+    // -- full-fidelity triples incl. score + evidence offset (rows-only) -----
+    "kg_triples_full" -> ((s, dir) =>
+      Pipeline.allTriples(
+        SyntheticCorpus.postings(s, dir), Pipeline.defaultGazetteers(s))),
+    // -- R13 connected-components canonicalization ---------------------------
+    "kg_canonical" -> ((s, dir) =>
+      Pipeline.canonicalSurfaces(spans(s, dir), Dictionaries.titlesDf(s))),
+    // -- multimodal: media spans + (stub) decoded metadata -------------------
+    "kg_media_meta" -> ((s, dir) =>
+      Media.metadata(SyntheticCorpus.postings(s, dir))))
+
+  // ---- analytic DuckDB oracles --------------------------------------------
+
+  private val subj = "CAST(doc_id AS VARCHAR) AS subj"
+
+  private def skillIdxSql(j: String) =
+    s"CASE WHEN (doc_id + 7*$j) % 5 = 0 THEN 0 ELSE (doc_id + 7*$j) % 30 END"
+
+  private val skillsOracle =
+    s"""SELECT DISTINCT $subj, 'requiresSkill' AS pred,
+       | printf('S%03d', ${skillIdxSql("j")}) AS obj
+       |FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4 - 1)) AS j
+       |      FROM documents)""".stripMargin
+
+  private val canonicalOracle: String = {
+    val gazPairs = Dictionaries.gazTitles
+      .filter(g => g.surface != g.canonical)
+      .map(g => s"('${g.surface}', '${g.canonical}')")
+    val typoPairs = Dictionaries.titles.zipWithIndex
+      .map { case ((canon, _, typo), i) => s"($i, '$typo', '$canon')" }
+    s"""WITH RECURSIVE gaz(src, dst) AS (
+       |  SELECT * FROM (VALUES ${gazPairs.mkString(", ")}) v(src, dst)
+       |), typos AS (
+       |  SELECT DISTINCT t.typo AS src, t.canon AS dst
+       |  FROM (VALUES ${typoPairs.mkString(", ")}) t(i, typo, canon)
+       |  JOIN documents d ON d.doc_id % 7 = 3 AND d.doc_id % 20 = t.i
+       |), edges AS (
+       |  SELECT src, dst FROM gaz UNION SELECT src, dst FROM typos
+       |), sym AS (
+       |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+       |), nodes AS (
+       |  SELECT DISTINCT src AS n FROM sym
+       |), reach(a, b) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+       |)
+       |SELECT a AS surface, min(b) AS canonical FROM reach GROUP BY a""".stripMargin
+  }
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "kg_postings_stats" ->
+      s"""SELECT $subj,
+         | CAST(2 + (CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END)
+         |   + (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END)
+         |   + nb + nm + doc_id % 4
+         |   + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         | CAST(nm AS BIGINT) AS n_media
+         |FROM (SELECT doc_id,
+         |        ((len(string_split(text, ' ')) + 7) // 8) AS nb,
+         |        len(list_filter(generate_series(0, ((len(string_split(text, ' ')) + 7) // 8) - 1),
+         |            i -> (doc_id + i) % 3 = 0)) AS nm
+         |      FROM documents)""".stripMargin,
+    "kg_workload" ->
+      s"""SELECT $subj, 'hasWorkload' AS pred,
+         | CASE WHEN doc_id % 3 = 0
+         |      THEN printf('%d-%d', 20 + 10 * ((doc_id // 3) % 8), 30 + 10 * ((doc_id // 3) % 8))
+         |      ELSE printf('%d-%d', 10 * ((doc_id // 3) % 9 + 1), 10 * ((doc_id // 3) % 9 + 1))
+         | END AS obj
+         |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
+    "kg_skills" -> skillsOracle,
+    "kg_skills_salted" -> skillsOracle,
+    "kg_skills_trie" -> skillsOracle,
+    "kg_languages" ->
+      s"""SELECT $subj, 'requiresLanguage' AS pred, l.obj AS obj
+         |FROM documents d
+         |JOIN (VALUES (0, 'LANG00'), (0, 'LANG01'), (2, 'LANG00'), (2, 'LANG01'),
+         |             (1, 'LANG02')) l(m, obj)
+         |  ON d.doc_id % 4 = l.m""".stripMargin,
+    "kg_locations" ->
+      s"""SELECT $subj, 'locatedIn' AS pred,
+         | printf('LOC%02d', (doc_id // 2) % 12) AS obj
+         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    "kg_company" ->
+      s"SELECT $subj, 'postedBy' AS pred, printf('C%02d', doc_id % 15) AS obj FROM documents",
+    "kg_title" ->
+      s"SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents",
+    "kg_all_triples" ->
+      s"""SELECT subj, pred, obj FROM (
+         |  SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents
+         |  UNION ALL
+         |  SELECT $subj, 'postedBy' AS pred, printf('C%02d', doc_id % 15) AS obj FROM documents
+         |  UNION ALL
+         |  SELECT $subj, 'locatedIn' AS pred, printf('LOC%02d', (doc_id // 2) % 12) AS obj
+         |  FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT $subj, 'requiresLanguage' AS pred, l.obj AS obj FROM documents d
+         |  JOIN (VALUES (0, 'LANG00'), (0, 'LANG01'), (2, 'LANG00'), (2, 'LANG01'),
+         |               (1, 'LANG02')) l(m, obj) ON d.doc_id % 4 = l.m
+         |  UNION ALL
+         |  SELECT $subj, 'hasWorkload' AS pred,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN printf('%d-%d', 20 + 10 * ((doc_id // 3) % 8), 30 + 10 * ((doc_id // 3) % 8))
+         |         ELSE printf('%d-%d', 10 * ((doc_id // 3) % 9 + 1), 10 * ((doc_id // 3) % 9 + 1))
+         |    END AS obj
+         |  FROM documents WHERE doc_id % 3 < 2
+         |  UNION ALL
+         |  SELECT DISTINCT $subj, 'requiresSkill' AS pred,
+         |    printf('S%03d', ${skillIdxSql("j")}) AS obj
+         |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4 - 1)) AS j FROM documents)
+         |)""".stripMargin,
+    "kg_canonical" -> canonicalOracle,
+    "kg_media_meta" ->
+      s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,
+         | CAST(320 + 32 * ((doc_id + i) % 5) AS BIGINT) AS width,
+         | CAST(240 + 24 * ((doc_id + i) % 7) AS BIGINT) AS height
+         |FROM (SELECT doc_id,
+         |        unnest(generate_series(0, ((len(string_split(text, ' ')) + 7) // 8) - 1)) AS i
+         |      FROM documents)
+         |WHERE (doc_id + i) % 3 = 0""".stripMargin)
 }

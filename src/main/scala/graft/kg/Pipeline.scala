@@ -1,0 +1,134 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.kg.canon.ConnectedComponents
+import graft.kg.extract.Extractors
+import graft.kg.io.Dictionaries
+import graft.kg.link.{Linking, Salting}
+import graft.kg.schema.Schemas.Pred
+
+/** End-to-end wiring of the KG-construction pipeline (SURVEY.md §3.2).
+  * Every stage returns (subj, pred, obj, score, src_offset) triples;
+  * [[allTriples]] unions them and deduplicates deterministically.
+  */
+object Pipeline {
+
+  case class Gazetteers(
+      titles: DataFrame,
+      skills: DataFrame,
+      languages: DataFrame,
+      locations: DataFrame,
+      companies: DataFrame)
+
+  def defaultGazetteers(spark: SparkSession): Gazetteers = Gazetteers(
+    Dictionaries.titlesDf(spark),
+    Dictionaries.skillsDf(spark),
+    Dictionaries.languagesDf(spark),
+    Dictionaries.locationsDf(spark),
+    Dictionaries.companiesDf(spark))
+
+  /** R3+R10+R11: title candidates from h1 spans, exact + Jaro-Winkler fuzzy
+    * linking, one best title per doc.
+    */
+  def titleTriples(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
+    val cands = Extractors.titleCandidates(spans)
+    val linked = Linking.linkCandidates(cands, titlesGaz)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("entity_id").asc, col("offset").asc)
+    linked
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), lit(Pred.hasTitle).as("pred"), col("entity_id").as("obj"),
+        col("score"), col("offset").as("src_offset"))
+  }
+
+  /** Gazetteer mention triples (R4/R6/R7/R9 share this shape). */
+  private def mentionTriples(
+      mentions: DataFrame, pred: String): DataFrame =
+    mentions
+      .groupBy(col("doc_id"), col("entity_id"))
+      .agg(min(col("offset")).as("src_offset"))
+      .select(col("doc_id"), lit(pred).as("pred"), col("entity_id").as("obj"),
+        lit(1.0).as("score"), col("src_offset").cast("int").as("src_offset"))
+
+  def skillTriples(spans: DataFrame, skillsGaz: DataFrame): DataFrame =
+    mentionTriples(
+      Extractors.ngramMentions(spans.where(col("kind") === "li"), skillsGaz),
+      Pred.requiresSkill)
+
+  /** Same result as [[skillTriples]] but through the skew-salted shuffle-join
+    * path (hot key "Java"): correctness of salting is asserted by this and
+    * the broadcast plan sharing one oracle.
+    */
+  def skillTriplesSalted(spans: DataFrame, skillsGaz: DataFrame, salts: Int = 8): DataFrame = {
+    val li = spans.where(col("kind") === "li")
+    val tokens = split(col("text"), " ")
+    val grams: Seq[org.apache.spark.sql.Column] = (1 to 2).map { n =>
+      when(size(tokens) >= n,
+        transform(sequence(lit(1), size(tokens) - (n - 1)), k =>
+          array_join(slice(tokens, k, lit(n)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))
+    }
+    val gramRows = li.select(col("doc_id"), col("offset"),
+      explode(flatten(array(grams: _*))).as("gram"))
+    val joined = Salting.saltedJoin(
+      gramRows, skillsGaz.hint("shuffle_hash"), "gram", "surface", "doc_id", salts)
+    mentionTriples(
+      joined.select(col("doc_id"), col("surface"), col("entity_id"), col("offset")),
+      Pred.requiresSkill)
+  }
+
+  def languageTriples(spans: DataFrame, languagesGaz: DataFrame): DataFrame =
+    mentionTriples(
+      Extractors.ngramMentions(spans.where(col("kind") === "p"), languagesGaz),
+      Pred.requiresLanguage)
+
+  def locationTriples(spans: DataFrame, locationsGaz: DataFrame): DataFrame =
+    mentionTriples(
+      Extractors.ngramMentions(spans.where(col("kind") === "footer"), locationsGaz),
+      Pred.locatedIn)
+
+  def workloadTriples(spans: DataFrame): DataFrame =
+    Extractors.workload(spans)
+      .select(col("doc_id"), col("pred"), col("obj"), col("score"), col("src_offset"))
+
+  def companyTriples(spans: DataFrame, companiesGaz: DataFrame): DataFrame =
+    Extractors.company(spans, companiesGaz)
+
+  /** R12 — union of all predicate stages, deterministic dedup. */
+  def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame = {
+    val spans = Extractors.textSpans(postings)
+    val parts = Seq(
+      titleTriples(spans, gaz.titles),
+      skillTriples(spans, gaz.skills),
+      workloadTriples(spans),
+      languageTriples(spans, gaz.languages),
+      locationTriples(spans, gaz.locations),
+      companyTriples(spans, gaz.companies))
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"), col("pred"), col("obj"))
+      .agg(max(col("score")).as("score"), min(col("src_offset")).cast("int").as("src_offset"))
+      .select(col("doc_id").as("subj"), col("pred"), col("obj"), col("score"), col("src_offset"))
+  }
+
+  /** R13 — canonicalization: cluster gazetteer surfaces with the fuzzy-linked
+    * corpus surfaces (typos) via connected components; representative = the
+    * lexicographically-smallest surface of each cluster.
+    * Output: (surface, canonical).
+    */
+  def canonicalSurfaces(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
+    val gazEdges = titlesGaz
+      .where(col("surface") =!= col("canonical"))
+      .select(col("surface").as("src"), col("canonical").as("dst"))
+    val cands = Extractors.titleCandidates(spans)
+    val misses = cands.join(broadcast(titlesGaz), col("candidate") === col("surface"), "left_anti")
+    val typoEdges = Linking.fuzzyLink(misses, titlesGaz)
+      .select(col("candidate").as("src"), col("surface").as("dst"))
+      .distinct()
+    val comps = ConnectedComponents.run(gazEdges.union(typoEdges))
+    comps.select(col("node").as("surface"), col("component").as("canonical"))
+  }
+}

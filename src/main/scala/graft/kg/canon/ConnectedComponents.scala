@@ -1,0 +1,92 @@
+package graft.kg.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** R13 — canonicalization of surface forms via iterative DataFrame connected
+  * components (SURVEY.md §2.1, BASELINE.json:6: "iterative DataFrame
+  * connected-components clustering").
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log n) rounds on any graph, using only groupBy-min and equi-joins (no
+  * collect_list, no per-node neighborhood materialization, no RDDs, no
+  * GraphX). Each round is localCheckpoint'ed to cut the Catalyst lineage —
+  * without that the re-planned plan tree grows exponentially with iterations
+  * (SURVEY.md §4, the one place a naive build dies at scale; on a real
+  * cluster swap localCheckpoint for reliable checkpoint to also drop the
+  * executor-memory pin).
+  *
+  * Node ids are strings ordered lexicographically; the component label is the
+  * minimum member, so for surface-form clusters the representative is the
+  * lexicographically-smallest surface.
+  */
+object ConnectedComponents {
+
+  /** Large-star: for every node u, connect all strictly-larger neighbors to
+    * m(u) = min(N(u) ∪ {u}).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = nbrs.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    nbrs.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges from larger to smaller endpoint; for every node
+    * u connect all its (smaller-or-equal) neighbors and u itself to
+    * m(u) = min(N(u) ∪ {u}).
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
+    val relinked = dir.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = mins.select(col("src"), col("m").as("dst"))
+    relinked.union(self)
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Run CC over an undirected edge list `edges(src, dst)` (string ids).
+    * Returns (node, component) for every node incident to an edge, where
+    * component = min node of the connected component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val sigRow = next
+        .agg(count(lit(1)).as("n"),
+          // 32-bit per-edge hash summed into a long: order-insensitive, can't
+          // overflow (ANSI mode) below ~2^33 edges.
+          coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h"))
+        .head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+      iter += 1
+    }
+    // At the fixed point every edge points child -> component root.
+    val members = e.select(col("src").as("node"), col("dst").as("component"))
+    val roots = e.select(col("dst").as("node"), col("dst").as("component")).distinct()
+    members.union(roots)
+      .groupBy("node").agg(min(col("component")).as("component"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.kg.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.kg.schema.Schemas.Pred
+
+/** Span-level extraction stages (SURVEY.md §2.1 R2–R9). All pure
+  * org.apache.spark.sql.functions built-ins — codegen'd, no UDFs — except
+  * where a custom Catalyst expression is explicitly the point (Jaro-Winkler,
+  * Aho-Corasick; see graft.kg.expr).
+  */
+object Extractors {
+
+  /** R2 — posexplode the span array to one row per TEXT span. Media spans are
+    * skipped by filtering `kind != 'media'` (never by rewriting the array —
+    * the span-sequence invariant of BASELINE.json:15 lives on the unexploded
+    * `postings` rows, which this function does not modify).
+    * Output: (doc_id, kind, text, offset).
+    */
+  def textSpans(postings: DataFrame): DataFrame =
+    postings
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.offset").as("offset"))
+      .where(col("kind") =!= "media")
+
+  /** All media spans: (doc_id, media_ref, offset). */
+  def mediaSpans(postings: DataFrame): DataFrame =
+    postings
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "media")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
+
+  // R5 — workload ("Pensum") regex extraction. Range form first ("80 - 100%"),
+  // else single percentage ("60%"), normalized to "lo-hi"; requires a context
+  // keyword like the reference's Pensum/Teilzeit/Vollzeit matching.
+  private val RangeRe = "(\\d{1,3})\\s*[-–]\\s*(\\d{1,3})\\s*%"
+  private val SingleRe = "(\\d{1,3})\\s*%"
+  private val KeywordRe = "Pensum|Teilzeit|Vollzeit|Arbeitspensum|Workload"
+
+  /** R5: (doc_id, pred=hasWorkload, obj="lo-hi", score, src_offset). */
+  def workload(spans: DataFrame): DataFrame = {
+    val lo = regexp_extract(col("text"), RangeRe, 1)
+    val hi = regexp_extract(col("text"), RangeRe, 2)
+    val single = regexp_extract(col("text"), SingleRe, 1)
+    val obj = when(lo =!= "",
+      format_string("%d-%d",
+        least(lo.cast("int"), hi.cast("int")), greatest(lo.cast("int"), hi.cast("int"))))
+      .when(single =!= "", format_string("%d-%d", single.cast("int"), single.cast("int")))
+      .otherwise(lit(null))
+    spans
+      .where(col("text").rlike(KeywordRe))
+      .select(col("doc_id"), lit(Pred.hasWorkload).as("pred"), obj.as("obj"),
+        lit(1.0).as("score"), col("offset").as("src_offset"))
+      .where(col("obj").isNotNull)
+  }
+
+  /** R4 — gazetteer mention detection, n-gram broadcast-join plan: tokenize
+    * each span on single spaces, generate 1..maxN-token grams, broadcast
+    * hash-equi-join gram == gazetteer surface (case-sensitive). The
+    * interchangeable trie plan is [[graft.kg.expr.AhoCorasickMatches]].
+    * Output: (doc_id, surface, entity_id, canonical, offset).
+    */
+  def ngramMentions(spans: DataFrame, gaz: DataFrame, maxN: Int = 2): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val grams: Seq[Column] = (1 to maxN).map { n =>
+      when(size(tokens) >= n,
+        transform(sequence(lit(1), size(tokens) - (n - 1)), k =>
+          array_join(slice(tokens, k, lit(n)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))
+    }
+    spans
+      .select(col("doc_id"), col("offset"), explode(flatten(array(grams: _*))).as("gram"))
+      .join(broadcast(gaz), col("gram") === col("surface"))
+      .select(col("doc_id"), col("surface"), col("entity_id"), col("canonical"), col("offset"))
+  }
+
+  /** R8 — organisation extraction: footer spans ending in a legal-form suffix
+    * (AG/GmbH/SA) are candidates; candidates are frequency-scored per doc and
+    * the winner linked (exact, broadcast) to the canonical company table.
+    * Output: (doc_id, pred=postedBy, obj=entity_id, score, src_offset).
+    */
+  def company(spans: DataFrame, companies: DataFrame): DataFrame = {
+    val cands = spans
+      .where(col("kind") === "footer" && col("text").rlike("\\b(AG|GmbH|SA)$"))
+      .select(col("doc_id"), trim(col("text")).as("candidate"), col("offset"))
+    val scored = cands
+      .groupBy(col("doc_id"), col("candidate"))
+      .agg(count(lit(1)).as("freq"), min(col("offset")).as("src_offset"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq").desc, col("candidate").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(companies), col("candidate") === col("surface"))
+      .select(col("doc_id"), lit(Pred.postedBy).as("pred"), col("entity_id").as("obj"),
+        col("freq").cast("double").as("score"), col("src_offset").cast("int").as("src_offset"))
+  }
+
+  /** Title candidate surfaces from h1 spans with the reference's gender-form
+    * suffixes stripped ("(m/w)", "/-in" — SURVEY.md §2.1 R3).
+    * Output: (doc_id, candidate, offset).
+    */
+  def titleCandidates(spans: DataFrame): DataFrame =
+    spans
+      .where(col("kind") === "h1")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text"),
+          "\\s*\\((?:m/w(?:/d)?|w/m)\\)|\\s*/-in\\b", "")).as("candidate"),
+        col("offset"))
+}

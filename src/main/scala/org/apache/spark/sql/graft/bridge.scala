@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Catalyst glue (Spark 4 removed the
+  * public `new Column(expr)` constructor in the Column-node refactor). This
+  * is the standard extension-library pattern: one file inside the
+  * `org.apache.spark.sql` package exposing exactly the two conversions our
+  * custom expressions need — nothing else from the private surface is used.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.kg.canon.ConnectedComponents
+
+/** SURVEY.md §5.4 — CC correctness vs a union-find oracle on seeded random
+  * graphs, plus the path-graph worst case (exercises the O(log n) round bound
+  * of large-star/small-star).
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+
+  private def node(i: Int): String = f"n$i%05d"
+
+  private class UnionFind(n: Int) {
+    private val p = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+    def union(a: Int, b: Int): Unit = { val (x, y) = (find(a), find(b)); if (x != y) p(y) = x }
+  }
+
+  private def check(n: Int, edges: Seq[(Int, Int)], clue: String): Unit = {
+    val s = spark
+    import s.implicits._
+    val uf = new UnionFind(n)
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val oracle = touched
+      .groupBy(uf.find)
+      .flatMap { case (_, ms) => val rep = node(ms.min); ms.map(m => node(m) -> rep) }
+      .toMap
+    val got = ConnectedComponents.run(
+      edges.map { case (a, b) => (node(a), node(b)) }.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == oracle, clue)
+  }
+
+  test("random graphs match union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 80
+      val edges = (0 until 90).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+      check(n, edges, s"trial $trial")
+    }
+  }
+
+  test("path graph (CC worst case) converges") {
+    val n = 60
+    check(n, (0 until n - 1).map(i => (i, i + 1)), "path graph")
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    check(10, Seq((1, 1), (1, 2), (2, 1), (1, 2), (4, 5)), "dup/self edges")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.kg.Pipeline
+import graft.kg.schema.{PostingDoc, Span}
+import graft.kg.schema.Schemas.Pred
+
+/** FIXTURES.md §4 — golden extraction fixtures, the stand-in for the
+  * reference's JUnit suite (checkout empty, SURVEY.md §0): hand-written
+  * postings with exact expected triples; P/R must be 1.0 on this set
+  * (BASELINE.json:2 requires P/R >= 0.95 at corpus level).
+  */
+class GoldenFixturesSpec extends SparkTestBase {
+
+  private def doc(id: String, spans: (String, String)*): PostingDoc =
+    PostingDoc(id, spans.zipWithIndex.map { case ((kind, text), i) =>
+      if (kind == "media") Span(kind, "", text, i) else Span(kind, text, "", i)
+    })
+
+  private val fixtures: Seq[(PostingDoc, Set[(String, String)])] = Seq(
+    doc("fx-workload-range", ("p", "Pensum 80 - 100%")) ->
+      Set((Pred.hasWorkload, "80-100")),
+    doc("fx-workload-single", ("p", "Teilzeit 60%")) ->
+      Set((Pred.hasWorkload, "60-60")),
+    doc("fx-workload-reversed", ("p", "Pensum 100 - 80%")) ->
+      Set((Pred.hasWorkload, "80-100")),
+    doc("fx-title-gender", ("h1", "Software Engineer (m/w)")) ->
+      Set((Pred.hasTitle, "T000")),
+    doc("fx-title-fuzzy", ("h1", "Sofware Engineer")) ->
+      Set((Pred.hasTitle, "T000")),
+    doc("fx-title-variant", ("h1", "Projektleiter")) ->
+      Set((Pred.hasTitle, "T002")),
+    doc("fx-skills-li",
+      ("li", "Java"), ("li", "Erfahrung mit Power BI"), ("media", "img://x/0"),
+      ("li", "Kafka")) ->
+      Set((Pred.requiresSkill, "S000"), (Pred.requiresSkill, "S026"),
+        (Pred.requiresSkill, "S017")),
+    doc("fx-lang", ("p", "Deutsch und Englisch verhandlungssicher")) ->
+      Set((Pred.requiresLanguage, "LANG00"), (Pred.requiresLanguage, "LANG01")),
+    doc("fx-location-plz", ("footer", "8005 Zuerich")) ->
+      Set((Pred.locatedIn, "LOC00")),
+    doc("fx-company", ("footer", "Acme AG")) ->
+      Set((Pred.postedBy, "C00")),
+    doc("fx-media-only", ("media", "img://m/0"), ("media", "img://m/1")) ->
+      Set.empty,
+    doc("fx-empty") -> Set.empty,
+    // noise li span of lowercase corpus vocab must NOT produce skills;
+    // lowercase "java" must not match case-sensitive gazetteer "Java"
+    doc("fx-noise", ("li", "the fast java sort table"), ("p", "no percent here")) ->
+      Set.empty)
+
+  test("golden fixtures: P/R == 1.0") {
+    val s = spark
+    import s.implicits._
+    val postings = spark.createDataset(fixtures.map(_._1)).toDF()
+    val got = Pipeline.allTriples(postings, Pipeline.defaultGazetteers(spark))
+      .select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expected = fixtures.flatMap { case (d, ts) =>
+      ts.map { case (p, o) => (d.doc_id, p, o) }
+    }.toSet
+    val missing = expected -- got
+    val spurious = got -- expected
+    assert(missing.isEmpty, s"missing triples (recall < 1): $missing")
+    assert(spurious.isEmpty, s"spurious triples (precision < 1): $spurious")
+  }
+
+  test("media-only and empty docs survive with spans untouched") {
+    val s = spark
+    import s.implicits._
+    val postings = spark.createDataset(fixtures.map(_._1)).toDF()
+    // extraction must not mutate the input table's span arrays (the pipeline
+    // only derives from them) — re-read and compare
+    val before = fixtures.map(d => d._1.doc_id -> d._1.spans).toMap
+    val after = postings.as[PostingDoc].collect().map(d => d.doc_id -> d.spans).toMap
+    assert(before == after)
+  }
+}

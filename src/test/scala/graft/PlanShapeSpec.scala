@@ -1,0 +1,47 @@
+package graft
+
+/** SURVEY.md §5.5 — plan-shape assertions: gazetteer joins broadcast, the
+  * similarity join never degenerates to a cartesian product, the salted
+  * variant actually takes the shuffle path, and parquet pushdown/pruning
+  * reach the scan.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("gazetteer mention join is BroadcastHashJoin") {
+    val p = plan("kg_skills")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("fuzzy title linking: blocked equi-join, no cartesian/nested-loop") {
+    val p = plan("kg_title")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole pipeline has no cartesian products") {
+    val p = plan("kg_all_triples")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("salted skill join takes the shuffle (non-broadcast) path") {
+    val p = plan("kg_skills_salted")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("parquet scan: column pruning reaches the documents scan") {
+    val df = SparkEntry.queries("kg_media_meta")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).mkString("\n")
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("lang"), s"unused columns not pruned: $scan")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kg.emit.SpanInvariant
+import graft.kg.io.SyntheticCorpus
+import graft.kg.schema.{PostingDoc, Span}
+
+/** BASELINE.json:15 — span-sequence equality on (kind, text, media_ref,
+  * order) for every surviving row, over seeded generated documents (media
+  * interleaved, empty spans, unicode, 0..60 spans) and over the derived
+  * corpus.
+  */
+class SpanInvariantSpec extends SparkTestBase {
+
+  private def genDocs(seed: Int, n: Int): Seq[PostingDoc] = {
+    val rnd = new scala.util.Random(seed)
+    val texts = Seq("", "a", "Pensum 80 - 100%", "Erfahrung mit Java",
+      "unicode √ü√§√∂ 中文 🚀", "the fast key", "8005 Zuerich", "Acme AG")
+    (0 until n).map { i =>
+      val spans = (0 until rnd.nextInt(61)).map { j =>
+        if (rnd.nextBoolean() && j % 2 == 1) Span("media", "", s"img://$i/$j", j)
+        else Span(Seq("h1", "p", "li", "footer")(rnd.nextInt(4)),
+          texts(rnd.nextInt(texts.length)), "", j)
+      }
+      PostingDoc(s"gen-$i", spans)
+    }
+  }
+
+  test("filter-type stages preserve spans byte-exactly (generated docs)") {
+    val s = spark
+    import s.implicits._
+    val postings = spark.createDataset(genDocs(99, 120)).toDF()
+    // representative surviving-row stages: predicate filter, repartition,
+    // anti-join (the checkpoint-resume shape)
+    val filtered = postings.where(size(col("spans")) % 2 === 0)
+    SpanInvariant.enforce(postings, filtered)
+    val repart = postings.repartition(7, col("doc_id"))
+    SpanInvariant.enforce(postings, repart)
+    val done = postings.select(col("doc_id")).limit(30)
+    val resumed = postings.join(done, Seq("doc_id"), "left_anti")
+    SpanInvariant.enforce(postings, resumed)
+    assert(SpanInvariant.violations(postings, postings).count() == 0)
+  }
+
+  test("violations are detected (mutated spans)") {
+    val s = spark
+    import s.implicits._
+    val postings = spark.createDataset(genDocs(7, 30).filter(_.spans.nonEmpty)).toDF()
+    val mutated = postings.withColumn("spans",
+      expr("transform(spans, sp -> named_struct('kind', sp.kind, 'text', upper(sp.text), " +
+        "'media_ref', sp.media_ref, 'offset', sp.offset))"))
+    assert(SpanInvariant.violations(postings, mutated).count() > 0)
+  }
+
+  test("derived corpus: offsets strictly increasing from 0; media/text exclusive") {
+    val p = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+    val bad = p.select(col("doc_id"), col("spans"))
+      .where(!expr(
+        """forall(transform(spans, (sp, i) -> sp.offset = i), x -> x)
+          | or exists(spans, sp -> (sp.kind = 'media' and (sp.text != '' or sp.media_ref = ''))
+          |                     or (sp.kind != 'media' and sp.media_ref != ''))""".stripMargin))
+    assert(bad.count() == 0)
+  }
+
+  test("pipeline run leaves the postings table unchanged") {
+    val p = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+    graft.kg.Pipeline.allTriples(p, graft.kg.Pipeline.defaultGazetteers(spark)).count()
+    SpanInvariant.enforce(SyntheticCorpus.postings(spark, "/root/testdata/sf0.001"), p)
+  }
+}
