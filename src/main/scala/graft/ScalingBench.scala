@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kg.Pipeline
+import graft.kg.emit.TableIO
+import graft.kg.io.SyntheticCorpus
+
+/** Scaling-efficiency evidence for the north rule (BASELINE.json:2/14): the
+  * N→4N-executor criterion, evidenced in this single-host sandbox by running
+  * the IDENTICAL job on the IDENTICAL input at two parallelism levels
+  * (BASELINE.md methodology): `local[8]` vs `local[32]`, shuffle partitions
+  * scaled to match. Reports triples/sec; efficiency = (thru_4N/thru_N)/4.
+  *
+  * Env:
+  *   SPARK_GRAFT_CPUS   parallelism (default 8)
+  *   SPARK_GRAFT_SF_DIR input documents dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_REPL   deterministic input replication factor (default 20)
+  *   SPARK_GRAFT_RUNS   timed runs, median reported (default 3)
+  *
+  * One timed run = parquet scan → span derivation → full extraction +
+  * linking → triple union/dedup → partitioned write with lineage manifests
+  * (TableIO, Iceberg-shaped parquet — no Iceberg jar in this sandbox).
+  */
+object ScalingBench {
+
+  /** Deterministic input blow-up: replicate each document R times with
+    * distinct doc_ids (d*R + r). Same token bodies, different enrichment
+    * (enrichment is doc_id arithmetic), so the workload composition is
+    * stable across R.
+    */
+  def replicatedDocs(spark: SparkSession, sfDir: String, repl: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("r", explode(sequence(lit(0), lit(repl - 1))))
+      .select((col("doc_id") * repl + col("r")).as("doc_id"), col("text"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "20").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = replicatedDocs(spark, sfDir, repl)
+    val rowsIn = docs.count()
+    val gaz = Pipeline.defaultGazetteers(spark)
+
+    def oneRun(): (Long, Double) = {
+      val out = Files.createTempDirectory("graft-bench-out").toString
+      val t0 = System.nanoTime()
+      val triples = Pipeline.allTriples(SyntheticCorpus.fromDocuments(docs), gaz)
+      TableIO.writeTriples(spark, triples, out, inputLineage = s"$sfDir x$repl")
+      val nTriples = TableIO.readTriples(spark, out).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      TableIO.deleteTree(out)
+      (nTriples, wall)
+    }
+
+    oneRun() // warm-up, discarded
+    val runs = (1 to nRuns).map(_ => oneRun())
+    val nTriples = runs.head._1
+    val walls = runs.map(_._2).sorted
+    val median = walls(walls.length / 2)
+    val thru = nTriples / median
+    println(
+      s"""{"metric":"triples_per_sec","value":$thru,"unit":"triples/sec","cpus":$cpus,""" +
+      s""""docs":$rowsIn,"triples":$nTriples,"wall_sec_median":$median,""" +
+      s""""wall_sec_all":[${walls.mkString(",")}],"sf":"$sfDir","repl":$repl,""" +
+      s""""note":"parquet TableIO substitutes for Iceberg (no jar in sandbox)"}""")
+    spark.stop()
+  }
+}
