@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Relational, Similarity, TextOps}
+
+/** Training-data-pipeline + relational-coverage queries and their DuckDB
+  * oracles (merged into SparkEntry.queries / oracleSql).
+  */
+object OpsEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -----------------------------------------------------
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
+    "text_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
+    "text_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(docs(s, dir)).select("doc_id", "md5", "rolling")),
+    // ---- dedup -------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.derivedCorpus(docs(s, dir)))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Dedup.derivedCorpus(docs(s, dir)))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Dedup.derivedCorpus(docs(s, dir)))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.derivedCorpus(docs(s, dir)))),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
+    // ---- similarity search -------------------------------------------------
+    "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, emb(s, dir))),
+    // ---- relational coverage -----------------------------------------------
+    "q_agg_filter" -> ((s, dir) => Relational.aggFilter(s, dir)),
+    "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
+    "q_join_sortmerge" -> ((s, dir) => Relational.joinSortMerge(s, dir)),
+    "q_semi_anti" -> ((s, dir) => Relational.semiAnti(s, dir)),
+    "q_window_topk" -> ((s, dir) => Relational.windowTopK(s, dir)),
+    "q_rollup" -> ((s, dir) => Relational.rollupStatus(s, dir)),
+    "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
+    "q_json_events" -> ((s, dir) => Relational.jsonEvents(s, dir)),
+    "q_range_join" -> ((s, dir) => Relational.rangeJoin(s, dir)),
+    "q_date_math" -> ((s, dir) => Relational.dateMath(s, dir)))
+
+  /** Shared corpus CTE mirroring [[Dedup.derivedCorpus]] (DuckDB lambda index
+    * is 1-based, hence (i-1)).
+    */
+  private val corpusCte =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 1000000 AS BIGINT),
+      |    array_to_string(list_transform(string_split(text, ' '),
+      |      (t, i) -> CASE WHEN (i - 1) % 10 = 0 THEN 'xdup' ELSE t END), ' ')
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  private def jaccardSql(numer: Int, denom: Int) =
+    s"""$corpusCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, CAST(common AS BIGINT) AS common,
+       |       CAST(sa.n + sb.n - common AS BIGINT) AS union_
+       |FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
+       |WHERE common * $denom >= (sa.n + sb.n - common) * $numer""".stripMargin
+
+  private val embCte =
+    """WITH emb AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(vec_id + 1000000 AS BIGINT),
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
+      |  FROM embeddings WHERE vec_id % 3 = 0
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         | CAST(nt AS BIGINT) AS n_tokens,
+         | CAST(floor(10000.0 * ns / nt) AS BIGINT) AS stop_ratio_e4,
+         | CAST(floor(10000.0 * sl / nt) AS BIGINT) AS avg_token_len_e4,
+         | CAST(floor(10000.0 * (1.0 - 1.0 * ns / nt) * least(nt, 64) / 64.0) AS BIGINT) AS quality_e4
+         |FROM (SELECT doc_id,
+         |        len(string_split(text, ' ')) AS nt,
+         |        len(list_filter(string_split(text, ' '),
+         |            t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns,
+         |        CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS sl
+         |      FROM documents)""".stripMargin,
+    "text_langid" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang,
+        | CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM (SELECT doc_id, lang,
+        |        CASE WHEN list_contains(string_split(text, ' '), 'the')
+        |               OR list_contains(string_split(text, ' '), 'a') THEN 'en'
+        |             WHEN list_contains(string_split(text, ' '), 'und') THEN 'de'
+        |             ELSE 'unknown' END AS pred_lang
+        |      FROM documents)""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |        (t, i) -> CAST(i * len(t) AS BIGINT))) % 1000000007 AS BIGINT) AS rolling
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      s"""$corpusCte
+         |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id,
+         |  CAST(CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY text)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM corpus""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardSql(1, 5),
+    "dedup_minhash_lsh" -> jaccardSql(1, 2),
+    "dedup_embedding" ->
+      s"""$embCte
+         |SELECT x.vec_id AS a, y.vec_id AS b
+         |FROM emb x JOIN emb y ON x.vec_id < y.vec_id
+         |WHERE list_dot_product(x.e, y.e) >=
+         |  0.95 * sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0)
+        |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        |FROM (SELECT emb.vec_id,
+        |        list_dot_product(emb.e, q.qe) /
+        |          (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+        |      FROM emb, q WHERE emb.vec_id != 0)
+        |QUALIFY rank <= 10""".stripMargin,
+    "q_agg_filter" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_mktsegment,
+        | count(*) FILTER (WHERE has_o) AS n_with_orders,
+        | count(*) FILTER (WHERE NOT has_o) AS n_without_orders
+        |FROM (SELECT c_mktsegment,
+        |        EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        |      FROM customer)
+        |GROUP BY 1""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey,
+        | CAST(row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank,
+        | o_orderkey
+        |FROM orders
+        |QUALIFY rank <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_setops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_nationkey = 3""".stripMargin,
+    "q_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT x.user_id AS user_id, count(*) AS n_pairs
+        |FROM events x JOIN events y
+        |  ON x.user_id = y.user_id AND x.event_id < y.event_id
+        | AND abs(epoch_ms(x.ts) - epoch_ms(y.ts)) <= 3600000
+        |GROUP BY 1""".stripMargin,
+    "q_date_math" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin)
+}

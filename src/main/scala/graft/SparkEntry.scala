@@ -28,7 +28,10 @@ object SparkEntry {
     Extractors.textSpans(SyntheticCorpus.postings(s, dir))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    kgQueries ++ OpsEntries.queries
+
+  private val kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- derivation sanity: span/media counts per doc ------------------------
     "kg_postings_stats" -> ((s, dir) => {
       SyntheticCorpus.postings(s, dir).select(
@@ -133,7 +136,9 @@ object SparkEntry {
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = kgOracles ++ OpsEntries.oracleSql
+
+  private val kgOracles: Map[String, String] = Map(
     "kg_postings_stats" ->
       s"""SELECT $subj,
          | CAST(2 + (CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END)
