@@ -90,6 +90,16 @@ object SparkEntry {
     // -- R13 connected-components canonicalization ---------------------------
     "kg_canonical" -> ((s, dir) =>
       Pipeline.canonicalSurfaces(spans(s, dir), Dictionaries.titlesDf(s))),
+    // -- R7 heading-proximity skills: range join on (doc_id, |offset diff|) --
+    // in the synthetic corpus every skill li span lies within 3 offsets of a
+    // footer anchor (nsk <= 3), so this shares the skills oracle
+    "kg_skills_proximity" -> ((s, dir) => {
+      val mentions = Extractors.proximityMentions(
+        spans(s, dir), Dictionaries.skillsDf(s),
+        anchorPredicate = col("kind") === "footer", k = 3)
+      mentions.select(col("doc_id").as("subj"),
+        lit(Pred.requiresSkill).as("pred"), col("entity_id").as("obj")).distinct()
+    }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.postings(s, dir))))
@@ -161,6 +171,7 @@ object SparkEntry {
     "kg_skills" -> skillsOracle,
     "kg_skills_salted" -> skillsOracle,
     "kg_skills_trie" -> skillsOracle,
+    "kg_skills_proximity" -> skillsOracle,
     "kg_languages" ->
       s"""SELECT $subj, 'requiresLanguage' AS pred, l.obj AS obj
          |FROM documents d

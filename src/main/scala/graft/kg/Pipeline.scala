@@ -36,13 +36,16 @@ object Pipeline {
   def titleTriples(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
     val cands = Extractors.titleCandidates(spans)
     val linked = Linking.linkCandidates(cands, titlesGaz)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("entity_id").asc, col("offset").asc)
+    // per-doc argmax (score desc, entity_id/offset asc tie-break) as one
+    // hash-agg with map-side partial aggregation — cheaper than a ranking
+    // window (shuffle + sort) for top-1 (SURVEY.md R11)
     linked
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), lit(Pred.hasTitle).as("pred"), col("entity_id").as("obj"),
-        col("score"), col("offset").as("src_offset"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("entity_id"), col("score"), col("offset")),
+        struct((-col("score")).as("ns"), col("entity_id"), col("offset"))).as("best"))
+      .select(col("doc_id"), lit(Pred.hasTitle).as("pred"), col("best.entity_id").as("obj"),
+        col("best.score").as("score"), col("best.offset").as("src_offset"))
   }
 
   /** Gazetteer mention triples (R4/R6/R7/R9 share this shape). */
@@ -98,9 +101,16 @@ object Pipeline {
   def companyTriples(spans: DataFrame, companiesGaz: DataFrame): DataFrame =
     Extractors.company(spans, companiesGaz)
 
-  /** R12 — union of all predicate stages, deterministic dedup. */
+  /** R12 — union of all predicate stages, deterministic dedup.
+    *
+    * The exploded span relation feeds six extraction branches; without reuse
+    * Spark recomputes the scan + derivation once per branch. `persist` (lazy,
+    * MEMORY_AND_DISK) makes it one pass — on a cluster-scale run prefer
+    * serialized storage or a checkpointed intermediate table, same idea.
+    */
   def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame = {
     val spans = Extractors.textSpans(postings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parts = Seq(
       titleTriples(spans, gaz.titles),
       skillTriples(spans, gaz.skills),

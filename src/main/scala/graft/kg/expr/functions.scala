@@ -1,0 +1,26 @@
+package graft.kg.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+
+/** Column-API + SQL surface for the custom Catalyst expressions. */
+object functions {
+
+  def jaro_winkler(a: Column, b: Column): Column = JaroWinkler.jaroWinkler(a, b)
+
+  def dot_product(a: Column, b: Column): Column = VectorExprs.dotProduct(a, b)
+
+  def l2_norm(a: Column): Column = VectorExprs.l2Norm(a)
+
+  /** Register the scalar expressions with the session's FunctionRegistry so
+    * `spark.sql("... jaro_winkler(a, b) ...")` works (SURVEY.md §4: custom
+    * surface registered via FunctionRegistry).
+    */
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "jaro_winkler",
+      es => JaroWinkler(es.head, es(1)))
+    Bridge.registerFunction(spark, "dot_product",
+      es => DotProduct(es.head, es(1)))
+    Bridge.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
+  }
+}

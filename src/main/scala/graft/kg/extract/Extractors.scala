@@ -89,14 +89,43 @@ object Extractors {
     val scored = cands
       .groupBy(col("doc_id"), col("candidate"))
       .agg(count(lit(1)).as("freq"), min(col("offset")).as("src_offset"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("freq").desc, col("candidate").asc)
+    // argmax by (freq desc, candidate asc) as a single hash-agg via min_by on
+    // (-freq, candidate) — avoids a second shuffle + sort that a ranking
+    // window would cost (R11 top-1 doesn't need full ranking)
     scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("candidate"), col("freq"), col("src_offset")),
+        struct((-col("freq")).as("nf"), col("candidate"))).as("best"))
+      .select(col("doc_id"), col("best.candidate").as("candidate"),
+        col("best.freq").as("freq"), col("best.src_offset").as("src_offset"))
       .join(broadcast(companies), col("candidate") === col("surface"))
       .select(col("doc_id"), lit(Pred.postedBy).as("pred"), col("entity_id").as("obj"),
         col("freq").cast("double").as("score"), col("src_offset").cast("int").as("src_offset"))
+  }
+
+  /** R7 — heading-proximity mention detection: restrict gazetteer mentions to
+    * spans whose document offset lies within `k` of an *anchor* span (in the
+    * reference: list items near "Anforderungen"/"Kenntnisse" headings). The
+    * join is equi on doc_id with a range residual |offset - anchor| <= k —
+    * the range-join shape of SURVEY.md §2.2 — with the anchor side reduced
+    * (one row per doc via min) and broadcast when small.
+    */
+  def proximityMentions(
+      spans: DataFrame,
+      gaz: DataFrame,
+      anchorPredicate: Column,
+      k: Int,
+      mentionKinds: Seq[String] = Seq("li")): DataFrame = {
+    val anchors = spans.where(anchorPredicate)
+      .select(col("doc_id").as("a_doc"), col("offset").as("a_off"))
+    val near = spans
+      .where(col("kind").isin(mentionKinds.map(x => x: Any): _*))
+      .join(anchors,
+        col("doc_id") === col("a_doc") &&
+          abs(col("offset") - col("a_off")) <= k)
+      .select(col("doc_id"), col("kind"), col("text"), col("offset"))
+      .distinct()
+    ngramMentions(near, gaz)
   }
 
   /** Title candidate surfaces from h1 spans with the reference's gender-form

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
+
 /** Deduplication operators for a large-scale training-data pipeline: exact
   * (hash key), n-gram Jaccard (blocked shingle self-join), MinHash+LSH
   * (signature → band buckets → candidate join → exact verify), SimHash
@@ -78,8 +80,10 @@ object Dedup {
   /** MinHash signatures: k independent permutations approximated by seeded
     * xxhash64; one hash-agg per doc (no per-doc loops).
     */
-  def minhashSignatures(corpus: DataFrame, k: Int = 32): DataFrame = {
-    val sh = shingles(corpus)
+  def minhashSignatures(corpus: DataFrame, k: Int = 32): DataFrame =
+    minhashSignaturesFrom(shingles(corpus), k)
+
+  private def minhashSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -98,7 +102,11 @@ object Dedup {
     */
   def minhashLsh(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
       bands: Int = 32, rows: Int = 1): DataFrame = {
-    val sigs = minhashSignatures(corpus, bands * rows)
+    // the shingle relation feeds signature building, sizes, and the verify
+    // join (4 subtree uses) — persist so it is computed once
+    val sh0 = shingles(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFrom(sh0, bands * rows)
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val slots = (0 until rows).map(r => col(s"h${rows * b + r}"))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
@@ -111,7 +119,7 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // exact verify: intersect shingle sets only for candidate pairs
-    val sh = shingles(corpus)
+    val sh = sh0
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cands
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("s", "sa"), "a")
@@ -183,10 +191,8 @@ object Dedup {
     * Output: (a, b), a < b.
     */
   def embeddingNearDups(derived: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val withNorm = derived.withColumn("norm",
-      sqrt(expr("aggregate(emb, cast(0.0 as double), (acc, x) -> acc + x * x)")))
-    val dot = expr("aggregate(zip_with(x.emb, y.emb, (p, q) -> p * q), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)")
+    val withNorm = derived.withColumn("norm", l2Norm(col("emb")))
+    val dot = dotProduct(col("x.emb"), col("y.emb"))
     withNorm.as("x").join(withNorm.as("y"), col("x.vec_id") < col("y.vec_id"))
       .where(dot >= lit(threshold) * col("x.norm") * col("y.norm"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
+
 /** Approximate-nearest-neighbor similarity search over the `embeddings`
   * table (`Array[Float]` column, computed in double).
   *
@@ -24,12 +26,11 @@ object Similarity {
   /** (vec_id, emb, norm) with double components. */
   def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id").cast("long").as("vec_id"), embCol.as("emb"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(emb, cast(0.0 as double), (acc, x) -> acc + x * x)")))
+      .withColumn("norm", l2Norm(col("emb")))
 
   private def dotWith(q: Seq[Double]) = {
     val qLit = typedLit(q)
-    expr(s"aggregate(zip_with(emb, qv, (p, v) -> p * v), cast(0.0 as double), (acc, x) -> acc + x)") -> qLit
+    dotProduct(col("emb"), col("qv")) -> qLit
   }
 
   /** Exact cosine top-k against the embedding of `queryVecId`.
@@ -60,8 +61,7 @@ object Similarity {
     val p = prepared(embeddings)
     val cells = p.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"), col("norm").as("cell_norm"))
-    val cellDot = expr("aggregate(zip_with(emb, cell_emb, (x, y) -> x * y), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)")
+    val cellDot = dotProduct(col("emb"), col("cell_emb"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cell_cos").desc, col("cell_id").asc)
     val assigned = p.crossJoin(broadcast(cells))
@@ -73,8 +73,7 @@ object Similarity {
     val qv = q.getSeq[Double](1)
     val qn = q.getDouble(2)
     // probe cells: nProbe nearest cells to the query vector
-    val (qDotCell, qLit0) = (expr("aggregate(zip_with(cell_emb, qv, (x, y) -> x * y), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"), typedLit(qv))
+    val (qDotCell, qLit0) = (dotProduct(col("cell_emb"), col("qv")), typedLit(qv))
     val probeCells = cells.withColumn("qv", qLit0)
       .withColumn("cos", qDotCell / (col("cell_norm") * lit(qn)))
       .orderBy(col("cos").desc, col("cell_id").asc)

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingestion path.
+  *
+  * The north rule (BASELINE.json:14) is a BATCH pipeline with
+  * checkpoint-resume — resume is the anti-join in graft.kg.emit.TableIO, not
+  * streaming state (SURVEY.md §2.2) — so streaming is deliberately NOT on the
+  * KG critical path. This module exists because a corpus at 10^12 docs is
+  * appended continuously in practice: the same span-exploding extraction
+  * lifts onto a `readStream` source unchanged, which this demo (and its
+  * spec) proves with a windowed per-kind count over the interleaved spans.
+  */
+object StreamingIngest {
+
+  /** Watermarked, windowed span-kind counts over a stream of postings rows
+    * paired with an event-time column.
+    * Input schema: postings schema + ingest_ts timestamp.
+    */
+  def spanKindCounts(postings: DataFrame): DataFrame =
+    postings
+      .select(col("ingest_ts"), explode(col("spans")).as("s"))
+      .withWatermark("ingest_ts", "10 minutes")
+      .groupBy(window(col("ingest_ts"), "5 minutes"), col("s.kind").as("kind"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("kind"), col("n"))
+
+  /** Drive a parquet directory as a stream into an in-memory sink; returns
+    * the query (caller: processAllAvailable() then read table `name`).
+    */
+  def runOnParquetDir(
+      spark: SparkSession, dir: String, schema: StructType, name: String): StreamingQuery =
+    spanKindCounts(spark.readStream.schema(schema).parquet(dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kg.expr.{functions => F}
+import graft.kg.extract.Extractors
+import graft.kg.io.Dictionaries
+import graft.kg.schema.{PostingDoc, Span}
+
+/** SQL registration of the custom expressions + the heading-proximity range
+  * join (R7) on hand fixtures.
+  */
+class ExprSurfaceSpec extends SparkTestBase {
+
+  test("custom expressions callable from SQL after register()") {
+    F.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "l2_norm(array(3.0d, 4.0d)) AS n").head()
+    assert(math.abs(r.getDouble(0) - 0.9611) < 1e-3)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 5.0)
+  }
+
+  test("proximity mentions: only li spans within k of the anchor match") {
+    val s = spark
+    import s.implicits._
+    val doc = PostingDoc("px", Seq(
+      Span("h1", "Anforderungen", "", 0),
+      Span("li", "Java", "", 1),          // distance 1 -> in
+      Span("li", "Kafka", "", 2),         // distance 2 -> in
+      Span("p", "filler", "", 3),
+      Span("p", "filler", "", 4),
+      Span("p", "filler", "", 5),
+      Span("li", "Python", "", 6)))       // distance 6 -> out at k=2
+    val spansDf = Extractors.textSpans(spark.createDataset(Seq(doc)).toDF())
+    val got = Extractors.proximityMentions(
+      spansDf, Dictionaries.skillsDf(spark),
+      anchorPredicate = col("text") === "Anforderungen", k = 2)
+      .select("entity_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("S000", "S017"), s"got $got")
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.kg.io.SyntheticCorpus
+import graft.streaming.StreamingIngest
+
+/** The batch span-extraction lifts onto Structured Streaming unchanged:
+  * stream the derived postings from parquet, window-count span kinds, and
+  * reconcile with the batch answer.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("streamed span-kind counts reconcile with batch") {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val postings = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+      .withColumn("ingest_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    postings.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val q = StreamingIngest.runOnParquetDir(spark, dir, schema, "span_counts")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("span_counts")
+      .groupBy("kind").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = postings.select(explode(col("spans")).as("s"))
+      .groupBy(col("s.kind")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
