@@ -60,11 +60,18 @@ object ScalingBench {
     def oneRun(): (Long, Double) = {
       val out = Files.createTempDirectory("graft-bench-out").toString
       val t0 = System.nanoTime()
-      val triples = Pipeline.allTriples(SyntheticCorpus.fromDocuments(docs), gaz)
+      val postings = SyntheticCorpus.fromDocuments(docs)
+      val triples = Pipeline.allTriples(postings, gaz)
       TableIO.writeTriples(spark, triples, out, inputLineage = s"$sfDir x$repl")
+      // canonicalization (iterative CC over linked surface forms) is part of
+      // the north-rule pipeline; its input is gazetteer-sized (corpus-size
+      // independent) so it adds a small constant to each run
+      Pipeline.canonicalSurfaces(
+        graft.kg.extract.Extractors.textSpans(postings), gaz.titles).count()
       val nTriples = TableIO.readTriples(spark, out).count()
       val wall = (System.nanoTime() - t0) / 1e9
       TableIO.deleteTree(out)
+      spark.catalog.clearCache()
       (nTriples, wall)
     }
 

@@ -43,12 +43,22 @@ object Similarity {
     val qv = q.getSeq[Double](0)
     val qn = q.getDouble(1)
     val (dot, qLit) = dotWith(qv)
+    rankTopK(
+      p.where(col("vec_id") =!= queryVecId)
+        .withColumn("qv", qLit)
+        .withColumn("cos", dot / (col("norm") * lit(qn))), k)
+  }
+
+  /** Distributed top-k then rank: `orderBy.limit(k)` plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge), and the
+    * ranking window only ever sees k rows — never a global one-task sort
+    * over the full relation.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    p.where(col("vec_id") =!= queryVecId)
-      .withColumn("qv", qLit)
-      .withColumn("cos", dot / (col("norm") * lit(qn)))
+    scored
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"))
   }
 
@@ -80,14 +90,11 @@ object Similarity {
       .limit(nProbe)
       .select(col("cell_id"))
     val (dot, qLit) = dotWith(qv)
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    assigned
-      .join(broadcast(probeCells), "cell_id")
-      .where(col("vec_id") =!= queryVecId)
-      .withColumn("qv", qLit)
-      .withColumn("cos", dot / (col("norm") * lit(qn)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"))
+    rankTopK(
+      assigned
+        .join(broadcast(probeCells), "cell_id")
+        .where(col("vec_id") =!= queryVecId)
+        .withColumn("qv", qLit)
+        .withColumn("cos", dot / (col("norm") * lit(qn))), k)
   }
 }
