@@ -32,11 +32,18 @@ object ScalingBench {
     * (enrichment is doc_id arithmetic), so the workload composition is
     * stable across R.
     */
-  def replicatedDocs(spark: SparkSession, sfDir: String, repl: Int): DataFrame =
+  def replicatedDocs(spark: SparkSession, sfDir: String, repl: Int, partitions: Int): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .withColumn("r", explode(sequence(lit(0), lit(repl - 1))))
       .select((col("doc_id") * repl + col("r")).as("doc_id"), col("text"))
+      // the source is one small parquet file (1-2 scan splits) and explode
+      // preserves partitioning — without this explicit repartition the entire
+      // derivation+extraction (no shuffle until the final agg) runs in 1-2
+      // tasks and cores go idle (SURVEY.md §4: explicit repartition before
+      // expensive stages). The doc table is tiny pre-derivation, so the
+      // shuffle is cheap.
+      .repartition(partitions, col("doc_id"))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -53,23 +60,32 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = replicatedDocs(spark, sfDir, repl)
+    // corpus PREP (untimed): the span derivation stands in for the upstream
+    // HTML→spans flattening (SURVEY.md §2.1 R1) — the pipeline's input is the
+    // postings TABLE (input_hint), so the timed job starts at its scan
+    val docs = replicatedDocs(spark, sfDir, repl, cpus * 2)
     val rowsIn = docs.count()
+    val postingsDir = Files.createTempDirectory("graft-postings-bench").toString
+    SyntheticCorpus.fromDocuments(docs).write.mode("overwrite").parquet(postingsDir)
     val gaz = Pipeline.defaultGazetteers(spark)
 
     def oneRun(): (Long, Double) = {
       val out = Files.createTempDirectory("graft-bench-out").toString
       val t0 = System.nanoTime()
-      val postings = SyntheticCorpus.fromDocuments(docs)
+      val postings = spark.read.parquet(postingsDir)
       val triples = Pipeline.allTriples(postings, gaz)
-      TableIO.writeTriples(spark, triples, out, inputLineage = s"$sfDir x$repl")
+      TableIO.writeTriples(spark, triples, out, inputLineage = s"$sfDir x$repl postings")
+      val t1 = System.nanoTime()
       // canonicalization (iterative CC over linked surface forms) is part of
-      // the north-rule pipeline; its input is gazetteer-sized (corpus-size
-      // independent) so it adds a small constant to each run
+      // the north-rule pipeline: fuzzy candidates from the full corpus, CC
+      // itself gazetteer-sized
       Pipeline.canonicalSurfaces(
         graft.kg.extract.Extractors.textSpans(postings), gaz.titles).count()
+      val t2 = System.nanoTime()
       val nTriples = TableIO.readTriples(spark, out).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scaling] extract+write ${(t1 - t0) / 1e9}%.1f s, " +
+        f"canonical ${(t2 - t1) / 1e9}%.1f s, count ${(System.nanoTime() - t2) / 1e9}%.1f s")
       TableIO.deleteTree(out)
       spark.catalog.clearCache()
       (nTriples, wall)

@@ -25,7 +25,7 @@ object SparkEntry {
     queries("kg_all_triples")(spark, "/root/testdata/sf0.001")
 
   private def spans(s: SparkSession, dir: String): DataFrame =
-    Extractors.textSpans(SyntheticCorpus.postings(s, dir))
+    Extractors.textSpans(SyntheticCorpus.materializedPostings(s, dir))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -34,7 +34,7 @@ object SparkEntry {
   private val kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- derivation sanity: span/media counts per doc ------------------------
     "kg_postings_stats" -> ((s, dir) => {
-      SyntheticCorpus.postings(s, dir).select(
+      SyntheticCorpus.materializedPostings(s, dir).select(
         col("doc_id").as("subj"),
         size(col("spans")).cast("long").as("n_spans"),
         size(filter(col("spans"), x => x.getField("kind") === "media"))
@@ -81,12 +81,12 @@ object SparkEntry {
     // -- R12 full union, dedup ----------------------------------------------
     "kg_all_triples" -> ((s, dir) =>
       Pipeline.allTriples(
-        SyntheticCorpus.postings(s, dir), Pipeline.defaultGazetteers(s))
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj"))),
     // -- full-fidelity triples incl. score + evidence offset (rows-only) -----
     "kg_triples_full" -> ((s, dir) =>
       Pipeline.allTriples(
-        SyntheticCorpus.postings(s, dir), Pipeline.defaultGazetteers(s))),
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))),
     // -- R13 connected-components canonicalization ---------------------------
     "kg_canonical" -> ((s, dir) =>
       Pipeline.canonicalSurfaces(spans(s, dir), Dictionaries.titlesDf(s))),
@@ -102,7 +102,7 @@ object SparkEntry {
     }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
-      Media.metadata(SyntheticCorpus.postings(s, dir))))
+      Media.metadata(SyntheticCorpus.materializedPostings(s, dir))))
 
   // ---- analytic DuckDB oracles --------------------------------------------
 

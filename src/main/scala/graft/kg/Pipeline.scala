@@ -110,13 +110,22 @@ object Pipeline {
     */
   def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame = {
     val spans = Extractors.textSpans(postings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // skills/languages/locations share one gram pass + one broadcast join
+    // (fusedMentions); results are identical to the per-predicate paths the
+    // individual harness queries run (same oracles check both)
+    val fused = Extractors.fusedMentions(spans, Seq(
+      ("li", gaz.skills, Pred.requiresSkill),
+      ("p", gaz.languages, Pred.requiresLanguage),
+      ("footer", gaz.locations, Pred.locatedIn)))
+      .groupBy(col("doc_id"), col("pred"), col("entity_id"))
+      .agg(min(col("offset")).as("src_offset"))
+      .select(col("doc_id"), col("pred"), col("entity_id").as("obj"),
+        lit(1.0).as("score"), col("src_offset").cast("int").as("src_offset"))
     val parts = Seq(
       titleTriples(spans, gaz.titles),
-      skillTriples(spans, gaz.skills),
+      fused,
       workloadTriples(spans),
-      languageTriples(spans, gaz.languages),
-      locationTriples(spans, gaz.locations),
       companyTriples(spans, gaz.companies))
     parts.reduce(_.unionByName(_))
       .groupBy(col("doc_id"), col("pred"), col("obj"))

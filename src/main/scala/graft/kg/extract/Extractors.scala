@@ -77,6 +77,44 @@ object Extractors {
       .select(col("doc_id"), col("surface"), col("entity_id"), col("canonical"), col("offset"))
   }
 
+  /** Fused mention detection for several gazetteers in ONE pass: the
+    * per-kind gazetteers (skills→li, languages→p, locations→footer) are
+    * unioned into a single broadcast dimension keyed by (kind, surface), so
+    * the expensive gram generation over the span corpus runs once instead of
+    * once per predicate — at 10^12 spans the gram explode dominates, so this
+    * is a ~3x cut of the hot path. 2-grams are generated only for kinds whose
+    * gazetteer contains multi-token surfaces.
+    * `gazByKind`: (kind, gazetteer, pred). Output: (doc_id, pred, entity_id, offset).
+    */
+  def fusedMentions(spans: DataFrame, gazByKind: Seq[(String, DataFrame, String)]): DataFrame = {
+    val dim = gazByKind.map { case (kind, gaz, pred) =>
+      gaz.select(lit(kind).as("gkind"), col("surface"), col("entity_id"),
+        lit(pred).as("pred"))
+    }.reduce(_ unionByName _)
+    val multiTokenKinds = gazByKind.collect {
+      case (kind, gaz, _) if gazHasMultiToken(gaz) => kind
+    }
+    val tokens = split(col("text"), " ")
+    val twoGrams = when(col("kind").isin(multiTokenKinds.map(x => x: Any): _*) &&
+        size(tokens) >= 2,
+      transform(sequence(lit(1), size(tokens) - 1), k =>
+        array_join(slice(tokens, k, lit(2)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+    spans
+      .where(col("kind").isin(gazByKind.map(_._1: Any): _*))
+      .select(col("doc_id"), col("kind"), col("offset"),
+        explode(concat(tokens, twoGrams)).as("gram"))
+      .join(broadcast(dim),
+        col("gram") === col("surface") && col("kind") === col("gkind"))
+      .select(col("doc_id"), col("pred"), col("entity_id"), col("offset"))
+  }
+
+  /** Driver-side check (gazetteers are in-memory seqs at build time; for
+    * table-backed gazetteers precompute this in the prep pass).
+    */
+  private def gazHasMultiToken(gaz: DataFrame): Boolean =
+    gaz.select(max(size(split(col("surface"), " ")))).head().getInt(0) > 1
+
   /** R8 — organisation extraction: footer spans ending in a legal-form suffix
     * (AG/GmbH/SA) are candidates; candidates are frequency-scored per doc and
     * the winner linked (exact, broadcast) to the canonical company table.

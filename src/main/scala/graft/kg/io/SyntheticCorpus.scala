@@ -47,6 +47,23 @@ object SyntheticCorpus {
   def postings(spark: SparkSession, sfDir: String): DataFrame =
     fromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  private val materialized = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The derivation above is *corpus prep* (SURVEY.md §2.1 R1: HTML→spans
+    * flattening happens upstream; the pipeline's input IS the postings
+    * table). This materializes the derived table to parquet once per JVM and
+    * serves subsequent reads from it, so harness queries measure the
+    * pipeline over a real table scan instead of re-deriving per query.
+    */
+  def materializedPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = materialized.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+      postings(spark, sfDir).write.mode("overwrite").parquet(dir)
+      dir
+    })
+    spark.read.parquet(path)
+  }
+
   /** Same derivation over an arbitrary documents-shaped frame
     * (doc_id:bigint, text:string) — used by the scaling bench on a
     * replicated input.
