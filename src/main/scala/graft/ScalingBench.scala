@@ -53,7 +53,10 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaling-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4 task waves per stage: doc sizes vary ~10x, so 1-wave stages (one
+      // partition per core) leave cores idle behind stragglers — the classic
+      // partitions = 3-4x cores rule
+      .config("spark.sql.shuffle.partitions", cpus * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -63,7 +66,7 @@ object ScalingBench {
     // corpus PREP (untimed): the span derivation stands in for the upstream
     // HTML→spans flattening (SURVEY.md §2.1 R1) — the pipeline's input is the
     // postings TABLE (input_hint), so the timed job starts at its scan
-    val docs = replicatedDocs(spark, sfDir, repl, cpus * 2)
+    val docs = replicatedDocs(spark, sfDir, repl, cpus * 4)
     val rowsIn = docs.count()
     val postingsDir = Files.createTempDirectory("graft-postings-bench").toString
     SyntheticCorpus.fromDocuments(docs).write.mode("overwrite").parquet(postingsDir)

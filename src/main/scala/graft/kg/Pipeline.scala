@@ -103,25 +103,89 @@ object Pipeline {
 
   /** R12 — union of all predicate stages, deterministic dedup.
     *
-    * The exploded span relation feeds six extraction branches; without reuse
-    * Spark recomputes the scan + derivation once per branch. `persist` (lazy,
-    * MEMORY_AND_DISK) makes it one pass — on a cluster-scale run prefer
-    * serialized storage or a checkpointed intermediate table, same idea.
+    * Single-pass design: ONE scan+explode of the corpus emits every
+    * candidate row (title candidates, workload literals, company candidates,
+    * uppercase-filtered grams) as a small typed relation, which is persisted
+    * (it is ~10 rows/doc of short strings — orders of magnitude smaller than
+    * the span corpus) and then routed to the per-predicate
+    * joins/aggregations. The corpus is read exactly once however many
+    * predicates are extracted — the only shape that holds at 10^12 docs.
     */
   def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame = {
     val spans = Extractors.textSpans(postings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cands = Extractors.candidates(spans)
+      // deserialized cache: the relation is small (~10 short rows/doc) and
+      // read 4x — serialization would cost more CPU than it saves memory
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val workload = cands.where(col("ctype") === "workload")
+      .select(col("doc_id"), lit(Pred.hasWorkload).as("pred"), col("payload").as("obj"),
+        lit(1.0).as("score"), col("offset").cast("int").as("src_offset"))
+
+    val fusedDim = Seq(
+      ("li", gaz.skills, Pred.requiresSkill),
+      ("p", gaz.languages, Pred.requiresLanguage),
+      ("footer", gaz.locations, Pred.locatedIn)).map { case (kind, g, pred) =>
+      g.select(lit(kind).as("gkind"), col("surface"), col("entity_id"), lit(pred).as("pred"))
+    }.reduce(_ unionByName _)
+    val mentions = cands.where(col("ctype") === "gram")
+      .join(broadcast(fusedDim),
+        col("payload") === col("surface") && col("kind") === col("gkind"))
+      .select(col("doc_id"), col("pred"), col("entity_id").as("obj"),
+        lit(1.0).as("score"), col("offset").cast("int").as("src_offset"))
+
+    val titles = {
+      val tc = cands.where(col("ctype") === "title")
+        .select(col("doc_id"), col("payload").as("candidate"), col("offset"))
+      val linked = Linking.linkCandidates(tc, gaz.titles)
+      linked.groupBy(col("doc_id"))
+        .agg(min_by(
+          struct(col("entity_id"), col("score"), col("offset")),
+          struct((-col("score")).as("ns"), col("entity_id"), col("offset"))).as("best"))
+        .select(col("doc_id"), lit(Pred.hasTitle).as("pred"), col("best.entity_id").as("obj"),
+          col("best.score").as("score"), col("best.offset").cast("int").as("src_offset"))
+    }
+
+    val companies = {
+      val cc = cands.where(col("ctype") === "company")
+        .groupBy(col("doc_id"), col("payload").as("candidate"))
+        .agg(count(lit(1)).as("freq"), min(col("offset")).as("src_offset"))
+      cc.groupBy(col("doc_id"))
+        .agg(min_by(struct(col("candidate"), col("freq"), col("src_offset")),
+          struct((-col("freq")).as("nf"), col("candidate"))).as("best"))
+        .select(col("doc_id"), col("best.candidate").as("candidate"),
+          col("best.freq").as("freq"), col("best.src_offset").as("src_offset"))
+        .join(broadcast(gaz.companies), col("candidate") === col("surface"))
+        .select(col("doc_id"), lit(Pred.postedBy).as("pred"), col("entity_id").as("obj"),
+          col("freq").cast("double").as("score"), col("src_offset").cast("int").as("src_offset"))
+    }
+
+    Seq(workload, mentions, titles, companies).reduce(_.unionByName(_))
+      .groupBy(col("doc_id"), col("pred"), col("obj"))
+      .agg(max(col("score")).as("score"), min(col("src_offset")).cast("int").as("src_offset"))
+      .select(col("doc_id").as("subj"), col("pred"), col("obj"), col("score"), col("src_offset"))
+  }
+
+  /** Pre-single-pass reference wiring (kept for A/B comparison in tests:
+    * must produce identical triples to [[allTriples]]).
+    */
+  def allTriplesMultiPass(postings: DataFrame, gaz: Gazetteers): DataFrame = {
+    // spans are a cheap posexplode of the postings scan (derivation is
+    // corpus prep) — re-reading the parquet per branch is cheaper and scales
+    // better than caching 10s of millions of deserialized rows, and the
+    // branches prune to disjoint span kinds at the scan
+    val spans = Extractors.textSpans(postings)
     // skills/languages/locations share one gram pass + one broadcast join
     // (fusedMentions); results are identical to the per-predicate paths the
-    // individual harness queries run (same oracles check both)
+    // individual harness queries run (same oracles check both). Mention rows
+    // flow straight into the final (subj, pred, obj) agg — no intermediate
+    // per-predicate shuffle.
     val fused = Extractors.fusedMentions(spans, Seq(
       ("li", gaz.skills, Pred.requiresSkill),
       ("p", gaz.languages, Pred.requiresLanguage),
       ("footer", gaz.locations, Pred.locatedIn)))
-      .groupBy(col("doc_id"), col("pred"), col("entity_id"))
-      .agg(min(col("offset")).as("src_offset"))
       .select(col("doc_id"), col("pred"), col("entity_id").as("obj"),
-        lit(1.0).as("score"), col("src_offset").cast("int").as("src_offset"))
+        lit(1.0).as("score"), col("offset").cast("int").as("src_offset"))
     val parts = Seq(
       titleTriples(spans, gaz.titles),
       fused,

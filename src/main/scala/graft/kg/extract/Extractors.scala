@@ -51,7 +51,10 @@ object Extractors {
       .when(single =!= "", format_string("%d-%d", single.cast("int"), single.cast("int")))
       .otherwise(lit(null))
     spans
-      .where(col("text").rlike(KeywordRe))
+      // cheap contains() pre-filter before the regex: every workload form
+      // has a '%', and substring scan is far cheaper than regex over the
+      // full corpus
+      .where(col("text").contains("%") && col("text").rlike(KeywordRe))
       .select(col("doc_id"), lit(Pred.hasWorkload).as("pred"), obj.as("obj"),
         lit(1.0).as("score"), col("offset").as("src_offset"))
       .where(col("obj").isNotNull)
@@ -77,6 +80,67 @@ object Extractors {
       .select(col("doc_id"), col("surface"), col("entity_id"), col("canonical"), col("offset"))
   }
 
+  /** Single-pass candidate generation (the scan-once hot path of
+    * Pipeline.allTriples): one projection over the exploded spans emits every
+    * extraction candidate as (doc_id, ctype, payload, kind, offset):
+    *   - ctype='title'    payload = gender-suffix-stripped h1 text (R3)
+    *   - ctype='workload' payload = normalized "lo-hi" literal (R5)
+    *   - ctype='company'  payload = legal-suffix footer candidate (R8)
+    *   - ctype='gram'     payload = uppercase-first 1/2-gram for the fused
+    *                      gazetteer join (R4/R6/R9); kind routes the join
+    * Cheap pre-filters keep the emitted relation ~10 rows/doc.
+    */
+  def candidates(spans: DataFrame): DataFrame = {
+    def upperStart(c: Column): Column = {
+      val h = substring(c, 1, 1)
+      (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
+    }
+    def cand(ctype: String, payload: Column): Column =
+      struct(lit(ctype).as("ctype"), payload.as("payload"))
+
+    val title = when(col("kind") === "h1",
+      array(cand("title", trim(regexp_replace(col("text"), GenderSuffixRe, "")))))
+      .otherwise(emptyCands)
+
+    val lo = regexp_extract(col("text"), RangeRe, 1)
+    val hi = regexp_extract(col("text"), RangeRe, 2)
+    val single = regexp_extract(col("text"), SingleRe, 1)
+    val wlObj = when(lo =!= "",
+      format_string("%d-%d",
+        least(lo.cast("int"), hi.cast("int")), greatest(lo.cast("int"), hi.cast("int"))))
+      .when(single =!= "", format_string("%d-%d", single.cast("int"), single.cast("int")))
+      .otherwise(lit(null))
+    val workload = when(
+      col("text").contains("%") && col("text").rlike(KeywordRe) && wlObj.isNotNull,
+      array(cand("workload", wlObj))).otherwise(emptyCands)
+
+    val company = when(
+      col("kind") === "footer" && col("text").rlike("\\b(AG|GmbH|SA)$"),
+      array(cand("company", trim(col("text"))))).otherwise(emptyCands)
+
+    val tokens = split(col("text"), " ")
+    val oneGrams = transform(filter(tokens, t => upperStart(t)), t => cand("gram", t))
+    val twoGrams = when(col("kind").isin("li", "footer") && size(tokens) >= 2,
+      transform(
+        filter(transform(sequence(lit(1), size(tokens) - 1), k =>
+          array_join(slice(tokens, k, lit(2)), " ")), g => upperStart(g)),
+        g => cand("gram", g)))
+      .otherwise(emptyCands)
+    val grams = when(col("kind").isin("li", "p", "footer"),
+      concat(oneGrams, twoGrams)).otherwise(emptyCands)
+
+    spans
+      .select(col("doc_id"), col("kind"), col("offset"),
+        explode(concat(title, workload, company, grams)).as("c"))
+      .select(col("doc_id"), col("c.ctype").as("ctype"), col("c.payload").as("payload"),
+        col("kind"), col("offset"))
+  }
+
+  private val GenderSuffixRe = "\\s*\\((?:m/w(?:/d)?|w/m)\\)|\\s*/-in\\b"
+
+  private def emptyCands: Column =
+    expr("cast(array() as array<struct<ctype:string,payload:string>>)")
+
   /** Fused mention detection for several gazetteers in ONE pass: the
     * per-kind gazetteers (skills→li, languages→p, locations→footer) are
     * unioned into a single broadcast dimension keyed by (kind, surface), so
@@ -94,16 +158,28 @@ object Extractors {
     val multiTokenKinds = gazByKind.collect {
       case (kind, gaz, _) if gazHasMultiToken(gaz) => kind
     }
+    // Every gazetteer surface starts with an uppercase letter or a digit
+    // (asserted below), while body filler is lowercase — filtering tokens by
+    // first char before the gram explode drops ~95% of gram rows (and the
+    // memory traffic that dominates this stage) without changing results.
+    require(gazByKind.forall { case (_, gaz, _) =>
+      gaz.where(!substring(col("surface"), 1, 1).rlike("[A-Z0-9]")).isEmpty
+    }, "fusedMentions requires gazetteer surfaces to start with [A-Z0-9]")
+    def upperStart(c: Column): Column = {
+      val h = substring(c, 1, 1)
+      (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
+    }
     val tokens = split(col("text"), " ")
+    val oneGrams = filter(tokens, t => upperStart(t))
     val twoGrams = when(col("kind").isin(multiTokenKinds.map(x => x: Any): _*) &&
         size(tokens) >= 2,
-      transform(sequence(lit(1), size(tokens) - 1), k =>
-        array_join(slice(tokens, k, lit(2)), " ")))
+      filter(transform(sequence(lit(1), size(tokens) - 1), k =>
+        array_join(slice(tokens, k, lit(2)), " ")), g => upperStart(g)))
       .otherwise(typedLit(Seq.empty[String]))
     spans
       .where(col("kind").isin(gazByKind.map(_._1: Any): _*))
       .select(col("doc_id"), col("kind"), col("offset"),
-        explode(concat(tokens, twoGrams)).as("gram"))
+        explode(concat(oneGrams, twoGrams)).as("gram"))
       .join(broadcast(dim),
         col("gram") === col("surface") && col("kind") === col("gkind"))
       .select(col("doc_id"), col("pred"), col("entity_id"), col("offset"))

@@ -64,6 +64,19 @@ class GoldenFixturesSpec extends SparkTestBase {
     assert(spurious.isEmpty, s"spurious triples (precision < 1): $spurious")
   }
 
+  test("single-pass pipeline == multi-pass reference wiring") {
+    val postings = graft.kg.io.SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+    val gaz = Pipeline.defaultGazetteers(spark)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "score", "src_offset").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4)))
+        .toSet
+    val single = norm(Pipeline.allTriples(postings, gaz))
+    val multi = norm(Pipeline.allTriplesMultiPass(postings, gaz))
+    assert(single == multi,
+      s"missing=${(multi -- single).take(5)} spurious=${(single -- multi).take(5)}")
+  }
+
   test("media-only and empty docs survive with spans untouched") {
     val s = spark
     import s.implicits._
