@@ -77,7 +77,8 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val postings = spark.read.parquet(postingsDir)
       val triples = Pipeline.allTriples(postings, gaz)
-      TableIO.writeTriples(spark, triples, out, inputLineage = s"$sfDir x$repl postings")
+      val manifests =
+        TableIO.writeTriples(spark, triples, out, inputLineage = s"$sfDir x$repl postings")
       val t1 = System.nanoTime()
       // canonicalization (iterative CC over linked surface forms) is part of
       // the north-rule pipeline: fuzzy candidates from the full corpus, CC
@@ -85,7 +86,9 @@ object ScalingBench {
       Pipeline.canonicalSurfaces(
         graft.kg.extract.Extractors.textSpans(postings), gaz.titles).count()
       val t2 = System.nanoTime()
-      val nTriples = TableIO.readTriples(spark, out).count()
+      // triple count from the commit manifests (their row counts are computed
+      // from the data on disk) — no extra full-output read
+      val nTriples = manifests.map(_.rows).sum
       val wall = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scaling] extract+write ${(t1 - t0) / 1e9}%.1f s, " +
         f"canonical ${(t2 - t1) / 1e9}%.1f s, count ${(System.nanoTime() - t2) / 1e9}%.1f s")
