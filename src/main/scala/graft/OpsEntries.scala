@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Relational, Similarity, TextOps}
 
@@ -29,13 +28,23 @@ object OpsEntries {
       Dedup.ngramJaccard(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Dedup.derivedCorpus(docs(s, dir)))),
+    // production LSH geometry (16 bands x 2 rows) with PORTABLE hashing: the
+    // oracle replicates the full LSH mechanics (md5-based minhash signatures,
+    // banding, candidate join, exact verify) in SQL — it checks the
+    // algorithm, not just the end result
+    "dedup_minhash_lsh_16x2" -> ((s, dir) =>
+      Dedup.minhashLsh(Dedup.derivedCorpus(docs(s, dir)),
+        bands = 16, rows = 2, portable = true)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
     // ---- similarity search -------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
-    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, emb(s, dir))),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val idx = Similarity.materializedIndex(s, emb(s, dir), tag = dir)
+      Similarity.ivfTopK(s, idx, emb(s, dir))
+    }),
     // ---- relational coverage -----------------------------------------------
     "q_agg_filter" -> ((s, dir) => Relational.aggFilter(s, dir)),
     "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
@@ -63,18 +72,86 @@ object OpsEntries {
       |  SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0
       |)""".stripMargin
 
+  /** Distinct 3-gram shingles + per-doc sizes, shared by the Jaccard oracles. */
+  private val shinglesCtes =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+      |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
   private def jaccardSql(numer: Int, denom: Int) =
     s"""$corpusCte,
-       |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
-       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |$shinglesCtes,
        |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
        |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
        |SELECT a, b, CAST(common AS BIGINT) AS common,
        |       CAST(sa.n + sb.n - common AS BIGINT) AS union_
        |FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
        |WHERE common * $denom >= (sa.n + sb.n - common) * $numer""".stripMargin
+
+  /** The portable 60-bit hash of [[Dedup]]: first 15 hex digits of
+    * md5(s + "#" + salt) as an integer (hex digits via strpos, packed with
+    * integer shifts — no precision-losing float pow).
+    */
+  private def duckHash60(sExpr: String, salt: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 15), k ->
+       |    ((strpos('0123456789abcdef', substr(md5($sExpr || '#$salt'), k, 1)) - 1)::BIGINT
+       |      << (4 * (15 - k))))) AS BIGINT)""".stripMargin
+
+  /** Full-mechanics oracle for dedup_minhash_lsh_16x2: identical md5-based
+    * minhash signatures, identical (band, bucket) candidate join, identical
+    * exact verify — hash-equal output including any (intended) recall misses
+    * of the 16x2 geometry.
+    */
+  private val minhashLsh16x2Sql: String = {
+    val sigCols = (0 until 32).map(j => s"min(${duckHash60("s", j)}) AS h$j").mkString(",\n  ")
+    val bandSelects = (0 until 16).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(h${2 * b} AS VARCHAR) || ':' || CAST(h${2 * b + 1} AS VARCHAR) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$corpusCte,
+       |$shinglesCtes,
+       |sigs AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cm AS (SELECT a, b, count(*) AS common FROM cands
+       |       JOIN sh sa ON sa.doc_id = cands.a
+       |       JOIN sh sb ON sb.doc_id = cands.b AND sa.s = sb.s
+       |       GROUP BY 1, 2)
+       |SELECT a, b, CAST(common AS BIGINT) AS common,
+       |       CAST(sa.n + sb.n - common AS BIGINT) AS union_
+       |FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
+       |WHERE common * 2 >= (sa.n + sb.n - common) * 1""".stripMargin
+  }
+
+  /** Exact oracle for dedup_simhash: DuckDB computes the IDENTICAL 60-bit
+    * md5-digit signatures, then brute-force hamming (the Spark side's 4x15-bit
+    * banding is exact for hamming <= 3 by pigeonhole, so brute force is the
+    * same relation — OpsSpec asserts the banding exactness separately).
+    */
+  private val simhashSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      s"sum(((((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) * 2 - 1)) AS b$j"
+    }.mkString(",\n  ")
+    val sigOr = (0 until 60).map { j =>
+      s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    s"""$corpusCte,
+       |th AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM corpus),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigOr AS sig FROM bits)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
+  }
 
   private val embCte =
     """WITH emb AS (
@@ -86,6 +163,38 @@ object OpsEntries {
       |      (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
       |  FROM embeddings WHERE vec_id % 3 = 0
       |)""".stripMargin
+
+  /** Replicates the IVF mechanics: deterministic cells (vec_id < 16), nearest-
+    * cell assignment (cos desc, cell_id asc), 4-cell probe, top-10 within the
+    * probed cells.
+    */
+  private val ivfTopKSql =
+    """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cells AS (SELECT vec_id AS cell_id, e AS ce FROM emb WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT emb.vec_id, cells.cell_id,
+      |      list_dot_product(emb.e, cells.ce) /
+      |        (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(cells.ce, cells.ce))) AS ccos
+      |    FROM emb, cells)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id ASC) = 1
+      |),
+      |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cell_id FROM cells, q
+      |  ORDER BY list_dot_product(ce, qe) /
+      |    (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))) DESC,
+      |    cell_id ASC
+      |  LIMIT 4)
+      |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+      |FROM (
+      |  SELECT emb.vec_id,
+      |    list_dot_product(emb.e, q.qe) /
+      |      (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+      |  FROM emb JOIN assigned a ON emb.vec_id = a.vec_id, q
+      |  WHERE a.cell_id IN (SELECT cell_id FROM probe) AND emb.vec_id != 0)
+      |QUALIFY rank <= 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_tokens" ->
@@ -127,6 +236,8 @@ object OpsEntries {
          |FROM corpus""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardSql(1, 5),
     "dedup_minhash_lsh" -> jaccardSql(1, 2),
+    "dedup_minhash_lsh_16x2" -> minhashLsh16x2Sql,
+    "dedup_simhash" -> simhashSql,
     "dedup_embedding" ->
       s"""$embCte
          |SELECT x.vec_id AS a, y.vec_id AS b
@@ -143,6 +254,7 @@ object OpsEntries {
         |          (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
         |      FROM emb, q WHERE emb.vec_id != 0)
         |QUALIFY rank <= 10""".stripMargin,
+    "sim_ivf_topk" -> ivfTopKSql,
     "q_agg_filter" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.kg.Pipeline
 import graft.kg.expr.AhoCorasickMatches
 import graft.kg.extract.{Extractors, Media}
-import graft.kg.io.{Dictionaries, SyntheticCorpus}
+import graft.kg.io.{Dictionaries, GazetteerIO, SyntheticCorpus}
 import graft.kg.schema.Schemas.Pred
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,6 +78,27 @@ object SparkEntry {
     "kg_title" -> ((s, dir) =>
       Pipeline.titleTriples(spans(s, dir), Dictionaries.titlesDf(s))
         .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R10's second scoring path: built-in levenshtein, normalized ---------
+    // (same winners as the JW path on this corpus -> shares the oracle)
+    "kg_title_lev" -> ((s, dir) =>
+      Pipeline.titleTriplesLev(spans(s, dir), Dictionaries.titlesDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R3 tag-weight + position scoring (h1-only corpus -> same oracle; ----
+    // h2/position behavior pinned by golden fixtures)
+    "kg_title_scored" -> ((s, dir) =>
+      Pipeline.titleTriplesScored(spans(s, dir), Dictionaries.titlesDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- R6 depth: proficiency qualifiers ------------------------------------
+    "kg_language_proficiency" -> ((s, dir) =>
+      Pipeline.languageProficiencyTriples(spans(s, dir), Dictionaries.languagesDf(s))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
+    // -- file-backed gazetteer path: TSV load -> prep validation -> the same -
+    // broadcast mention join (shares the skills oracle)
+    "kg_skills_gaz_file" -> ((s, dir) =>
+      Pipeline.skillTriples(spans(s, dir),
+        GazetteerIO.validated(
+          GazetteerIO.fromText(s, GazetteerIO.materializedSkillsTsv()), "skills tsv"))
+        .select(col("doc_id").as("subj"), col("pred"), col("obj"))),
     // -- R12 full union, dedup ----------------------------------------------
     "kg_all_triples" -> ((s, dir) =>
       Pipeline.allTriples(
@@ -143,6 +164,73 @@ object SparkEntry {
        |SELECT a AS surface, min(b) AS canonical FROM reach GROUP BY a""".stripMargin
   }
 
+  /** Full-fidelity oracle for kg_triples_full: every (subj, pred, obj) of
+    * kg_all_triples PLUS the score and evidence-offset columns, all stated
+    * analytically. Span offsets follow the SyntheticCorpus layout: title at
+    * 0; workload at 1 (iff d%3<2); language at 1+(d%3<2) (iff d%4<3);
+    * hc = 1 + those two flags head spans; nb body spans with nm interleaved
+    * media; nsk = d%4 skill spans at hc+nb+nm+j; footer location at
+    * hc+nb+nm+nsk (iff d%2=0); footer company last. Fuzzy title scores for
+    * typo docs (d%7=3) are stated via DuckDB's own jaro_winkler_similarity —
+    * bit-identical to our JaroWinkler expression for all values >= 0.9 (both
+    * use Winkler's original conventions; see JaroWinklerSpec).
+    */
+  private val triplesFullOracle: String = {
+    val typoVals = Dictionaries.titles.zipWithIndex
+      .map { case ((_, _, typo), i) => s"($i, '$typo')" }.mkString(", ")
+    val surfVals = Dictionaries.gazTitles.map(g => s"('${g.surface}')").mkString(", ")
+    s"""WITH geo AS (
+       |  SELECT doc_id AS d,
+       |    (len(string_split(text, ' ')) + 7) // 8 AS nb,
+       |    len(list_filter(generate_series(0, (len(string_split(text, ' ')) + 7) // 8 - 1),
+       |        i -> (doc_id + i) % 3 = 0)) AS nm,
+       |    1 + (CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END)
+       |      + (CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END) AS hc,
+       |    doc_id % 4 AS nsk
+       |  FROM documents
+       |), typos(i, typo) AS (VALUES $typoVals),
+       |surfaces(surface) AS (VALUES $surfVals),
+       |typo_score AS (
+       |  SELECT i, max(s) AS score FROM (
+       |    SELECT t.i AS i, jaro_winkler_similarity(t.typo, g.surface) AS s
+       |    FROM typos t JOIN surfaces g
+       |      ON substr(t.typo, 1, 1) = substr(g.surface, 1, 1)
+       |     AND abs(len(t.typo) - len(g.surface)) <= 6)
+       |  WHERE s >= 0.9 GROUP BY i
+       |)
+       |SELECT subj, pred, obj, score, CAST(src_offset AS INTEGER) AS src_offset FROM (
+       |  SELECT CAST(d AS VARCHAR) AS subj, 'hasTitle' AS pred,
+       |    printf('T%03d', d % 20) AS obj,
+       |    CASE WHEN d % 7 = 3 THEN ts.score ELSE 1.0 END AS score, 0 AS src_offset
+       |  FROM geo LEFT JOIN typo_score ts ON ts.i = d % 20
+       |  UNION ALL
+       |  SELECT CAST(d AS VARCHAR), 'postedBy', printf('C%02d', d % 15), 1.0,
+       |    hc + nb + nm + nsk + (CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END)
+       |  FROM geo
+       |  UNION ALL
+       |  SELECT CAST(d AS VARCHAR), 'locatedIn', printf('LOC%02d', (d // 2) % 12), 1.0,
+       |    hc + nb + nm + nsk
+       |  FROM geo WHERE d % 2 = 0
+       |  UNION ALL
+       |  SELECT CAST(d AS VARCHAR), 'requiresLanguage', l.obj, 1.0,
+       |    1 + (CASE WHEN d % 3 < 2 THEN 1 ELSE 0 END)
+       |  FROM geo JOIN (VALUES (0, 'LANG00'), (0, 'LANG01'), (2, 'LANG00'), (2, 'LANG01'),
+       |                 (1, 'LANG02')) l(m, obj) ON d % 4 = l.m
+       |  UNION ALL
+       |  SELECT CAST(d AS VARCHAR), 'hasWorkload',
+       |    CASE WHEN d % 3 = 0
+       |         THEN printf('%d-%d', 20 + 10 * ((d // 3) % 8), 30 + 10 * ((d // 3) % 8))
+       |         ELSE printf('%d-%d', 10 * ((d // 3) % 9 + 1), 10 * ((d // 3) % 9 + 1)) END,
+       |    1.0, 1
+       |  FROM geo WHERE d % 3 < 2
+       |  UNION ALL
+       |  SELECT CAST(d AS VARCHAR), 'requiresSkill',
+       |    printf('S%03d', CASE WHEN (d + 7 * j) % 5 = 0 THEN 0 ELSE (d + 7 * j) % 30 END),
+       |    1.0, hc + nb + nm + j
+       |  FROM (SELECT d, hc, nb, nm, unnest(generate_series(0, nsk - 1)) AS j FROM geo)
+       |)""".stripMargin
+  }
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -186,6 +274,19 @@ object SparkEntry {
       s"SELECT $subj, 'postedBy' AS pred, printf('C%02d', doc_id % 15) AS obj FROM documents",
     "kg_title" ->
       s"SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents",
+    "kg_title_lev" ->
+      s"SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents",
+    "kg_title_scored" ->
+      s"SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents",
+    "kg_skills_gaz_file" -> skillsOracle,
+    "kg_language_proficiency" ->
+      s"""SELECT $subj, 'languageProficiency' AS pred, l.obj AS obj
+         |FROM documents d
+         |JOIN (VALUES (0, 'LANG00=verhandlungssicher'), (0, 'LANG01=verhandlungssicher'),
+         |             (2, 'LANG00=verhandlungssicher'), (2, 'LANG01=verhandlungssicher'),
+         |             (1, 'LANG02=fliessend')) l(m, obj)
+         |  ON d.doc_id % 4 = l.m""".stripMargin,
+    "kg_triples_full" -> triplesFullOracle,
     "kg_all_triples" ->
       s"""SELECT subj, pred, obj FROM (
          |  SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents

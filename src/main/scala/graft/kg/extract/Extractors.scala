@@ -89,8 +89,14 @@ object Extractors {
     *   - ctype='gram'     payload = uppercase-first 1/2-gram for the fused
     *                      gazetteer join (R4/R6/R9); kind routes the join
     * Cheap pre-filters keep the emitted relation ~10 rows/doc.
+    * `twoGramKinds`: span kinds whose gazetteer contains multi-token surfaces
+    * (a prep-pass fact — Pipeline derives it from the gazetteers via
+    * GazetteerIO.hasMultiTokenSurface; hardcoding it would silently miss
+    * mentions if a multi-token surface were added to another kind's
+    * gazetteer).
     */
-  def candidates(spans: DataFrame): DataFrame = {
+  def candidates(spans: DataFrame,
+      twoGramKinds: Seq[String] = Seq("li", "footer")): DataFrame = {
     def upperStart(c: Column): Column = {
       val h = substring(c, 1, 1)
       (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
@@ -120,7 +126,7 @@ object Extractors {
 
     val tokens = split(col("text"), " ")
     val oneGrams = transform(filter(tokens, t => upperStart(t)), t => cand("gram", t))
-    val twoGrams = when(col("kind").isin("li", "footer") && size(tokens) >= 2,
+    val twoGrams = when(col("kind").isin(twoGramKinds.map(x => x: Any): _*) && size(tokens) >= 2,
       transform(
         filter(transform(sequence(lit(1), size(tokens) - 1), k =>
           array_join(slice(tokens, k, lit(2)), " ")), g => upperStart(g)),
@@ -147,24 +153,24 @@ object Extractors {
     * the expensive gram generation over the span corpus runs once instead of
     * once per predicate — at 10^12 spans the gram explode dominates, so this
     * is a ~3x cut of the hot path. 2-grams are generated only for kinds whose
-    * gazetteer contains multi-token surfaces.
+    * gazetteer contains multi-token surfaces (`multiTokenKinds` — a prep-pass
+    * fact from GazetteerIO.hasMultiTokenSurface; validation that every
+    * surface starts with [A-Z0-9], the contract behind the uppercase-first
+    * token pre-filter below, also lives in the prep pass:
+    * GazetteerIO.validated — never inside plan construction, where it would
+    * fire a driver-blocking action on every build).
     * `gazByKind`: (kind, gazetteer, pred). Output: (doc_id, pred, entity_id, offset).
     */
-  def fusedMentions(spans: DataFrame, gazByKind: Seq[(String, DataFrame, String)]): DataFrame = {
+  def fusedMentions(spans: DataFrame, gazByKind: Seq[(String, DataFrame, String)],
+      multiTokenKinds: Seq[String]): DataFrame = {
     val dim = gazByKind.map { case (kind, gaz, pred) =>
       gaz.select(lit(kind).as("gkind"), col("surface"), col("entity_id"),
         lit(pred).as("pred"))
     }.reduce(_ unionByName _)
-    val multiTokenKinds = gazByKind.collect {
-      case (kind, gaz, _) if gazHasMultiToken(gaz) => kind
-    }
     // Every gazetteer surface starts with an uppercase letter or a digit
-    // (asserted below), while body filler is lowercase — filtering tokens by
-    // first char before the gram explode drops ~95% of gram rows (and the
+    // (prep-pass contract), while body filler is lowercase — filtering tokens
+    // by first char before the gram explode drops ~95% of gram rows (and the
     // memory traffic that dominates this stage) without changing results.
-    require(gazByKind.forall { case (_, gaz, _) =>
-      gaz.where(!substring(col("surface"), 1, 1).rlike("[A-Z0-9]")).isEmpty
-    }, "fusedMentions requires gazetteer surfaces to start with [A-Z0-9]")
     def upperStart(c: Column): Column = {
       val h = substring(c, 1, 1)
       (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
@@ -184,12 +190,6 @@ object Extractors {
         col("gram") === col("surface") && col("kind") === col("gkind"))
       .select(col("doc_id"), col("pred"), col("entity_id"), col("offset"))
   }
-
-  /** Driver-side check (gazetteers are in-memory seqs at build time; for
-    * table-backed gazetteers precompute this in the prep pass).
-    */
-  private def gazHasMultiToken(gaz: DataFrame): Boolean =
-    gaz.select(max(size(split(col("surface"), " ")))).head().getInt(0) > 1
 
   /** R8 — organisation extraction: footer spans ending in a legal-form suffix
     * (AG/GmbH/SA) are candidates; candidates are frequency-scored per doc and
@@ -250,7 +250,49 @@ object Extractors {
     spans
       .where(col("kind") === "h1")
       .select(col("doc_id"),
-        trim(regexp_replace(col("text"),
-          "\\s*\\((?:m/w(?:/d)?|w/m)\\)|\\s*/-in\\b", "")).as("candidate"),
+        trim(regexp_replace(col("text"), GenderSuffixRe, "")).as("candidate"),
         col("offset"))
+
+  /** R3 with the reference's tag-weight + position features (SURVEY.md §2.1
+    * R3 [PK-med]): candidates from h1/h2/title spans, feature weight =
+    * tagWeight(kind) / (1 + offset) — a prominent early h1 beats a deep h2.
+    * The synthetic corpus emits h1-only titles at offset 0 (weight exactly
+    * 1.0), so the registered query shares kg_title's oracle; the h2/position
+    * semantics are pinned by golden fixtures.
+    * Output: (doc_id, candidate, offset, w).
+    */
+  def titleCandidatesScored(spans: DataFrame): DataFrame =
+    spans
+      .where(col("kind").isin("h1", "h2", "title"))
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text"), GenderSuffixRe, "")).as("candidate"),
+        col("offset"),
+        (when(col("kind") === "h1", 1.0)
+          .when(col("kind") === "title", 0.8)
+          .otherwise(0.6) / (lit(1.0) + col("offset"))).as("w"))
+
+  /** R6 depth — proficiency qualifiers (SURVEY.md §2.1 R6: "proficiency
+    * keywords"): language mentions inside a span that carries a qualifier
+    * keyword get (entity, qualifier) pairs. One regexp per span + the same
+    * uppercase-first 1-gram broadcast join as R4 (language surfaces are
+    * single-token — asserted by the p-kind gazetteer's prep fact).
+    * Output: (doc_id, entity_id, qualifier, offset).
+    */
+  def languageProficiency(spans: DataFrame, languagesGaz: DataFrame): DataFrame = {
+    val qual = regexp_extract(col("text"),
+      "(verhandlungssicher|fliessend|Grundkenntnisse|Muttersprache)", 1)
+    val tokens = split(col("text"), " ")
+    def upperStart(c: Column): Column = {
+      val h = substring(c, 1, 1)
+      (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
+    }
+    spans
+      .where(col("kind") === "p")
+      .withColumn("qualifier", qual)
+      .where(col("qualifier") =!= "")
+      .select(col("doc_id"), col("offset"), col("qualifier"),
+        explode(filter(tokens, t => upperStart(t))).as("gram"))
+      .join(broadcast(languagesGaz), col("gram") === col("surface"))
+      .select(col("doc_id"), col("entity_id"), col("qualifier"), col("offset"))
+  }
 }

@@ -54,6 +54,8 @@ object Schemas {
     val requiresLanguage = "requiresLanguage"
     val locatedIn = "locatedIn"
     val postedBy = "postedBy"
+    /** R6 depth: obj = "<language entity>=<proficiency qualifier>". */
+    val languageProficiency = "languageProficiency"
     val all: Seq[String] =
       Seq(hasTitle, requiresSkill, hasWorkload, requiresLanguage, locatedIn, postedBy)
   }

@@ -3,25 +3,35 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
+import graft.kg.expr.SignBands.signBands
+import graft.kg.expr.SignBandsAlgo
 import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
 
 /** Deduplication operators for a large-scale training-data pipeline: exact
-  * (hash key), n-gram Jaccard (blocked shingle self-join), MinHash+LSH
-  * (signature → band buckets → candidate join → exact verify), SimHash
-  * (bit-majority signature → banded hamming join), and embedding-cosine
-  * near-dup.
+  * (hash key), n-gram Jaccard (DF-capped shingle self-join + exact verify),
+  * MinHash+LSH (signature → band buckets → candidate join → exact verify),
+  * SimHash (bit-majority signature → banded hamming join), and
+  * embedding-cosine near-dup (hyperplane-LSH blocked + exact verify).
   *
   * Scale notes (the point of each design):
   *  - exact: one hash-agg, no comparison is ever pairwise.
-  *  - ngram-jaccard: the only pairwise step is the equi-join on shingles, so
-  *    cost tracks shared-shingle pairs, not n².
+  *  - ngram-jaccard: candidate pairs come only from shingles with document
+  *    frequency <= maxDf, so the self-join's per-key cost is bounded by
+  *    maxDf² — a corpus-common shingle ("and the of …") can never go
+  *    quadratic; the verify step restores exact counts for survivors.
   *  - minhash-lsh: candidate generation is an equi-join on (band, bucket) —
-  *    at 10^12 docs this is the only sub-quadratic near-dup path; band/row
-  *    counts (16×2 over k=32) put P(candidate | J=0.7) > 0.9999.
-  *  - simhash: 4×16-bit bands make hamming<=3 candidate generation EXACT by
+  *    at 10^12 docs this is the only sub-quadratic near-dup path.
+  *  - simhash: 4×15-bit bands make hamming<=3 candidate generation EXACT by
   *    pigeonhole, still equi-join shaped.
-  *  - embedding: per-block brute force; blocks bound the quadratic term.
+  *  - embedding: hyperplane-LSH bands bound the quadratic term; the exact
+  *    cosine predicate runs only inside candidate blocks.
+  *
+  * Caching contract: [[ngramJaccard]] and [[minhashLsh]] persist the shingle
+  * relation (it feeds 4–6 subtrees); the persist belongs to the returned
+  * plan's lifetime — callers that run many dedup queries in one session
+  * should `spark.catalog.clearCache()` between them (graft.Bench does).
   */
 object Dedup {
 
@@ -51,75 +61,27 @@ object Dedup {
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
   }
 
-  /** Distinct 3-gram token shingles: (doc_id, s). */
-  def shingles(corpus: DataFrame, n: Int = 3): DataFrame =
-    corpus.select(col("doc_id"), explode(expr(
-      s"transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 0)), " +
-        s"i -> array_join(slice(split(text, ' '), i, $n), ' '))")).as("s"))
-      .distinct()
-
-  /** Exact pairwise n-gram Jaccard >= numer/denom via shingle equi-join;
-    * integer arithmetic only (denom*common >= numer*union).
-    * Output: (a, b, common, union_) with a < b.
+  /** Distinct n-gram token shingles: (doc_id, s). Docs shorter than n tokens
+    * emit none — the size guard matters because `sequence(1, size-n+1)`
+    * DESCENDS when size < n (Spark defaults to step -1 when start > stop) and
+    * the slice at index 0 then throws INVALID_PARAMETER_VALUE.START.
     */
-  def ngramJaccard(corpus: DataFrame, numer: Int = 1, denom: Int = 5): DataFrame = {
-    val sh = shingles(corpus)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-      .withColumn("union_", col("na") + col("nb") - col("common"))
-      .where(col("common") * denom >= col("union_") * numer)
-      .select(col("a"), col("b"), col("common"), col("union_"))
+  def shingles(corpus: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= n, expr(
+      s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+        s"i -> array_join(slice(split(text, ' '), i, $n), ' '))"))
+      .otherwise(expr("cast(array() as array<string>)"))
+    corpus.select(col("doc_id"), explode(grams).as("s")).distinct()
   }
 
-  /** MinHash signatures: k independent permutations approximated by seeded
-    * xxhash64; one hash-agg per doc (no per-doc loops).
+  /** Exact verify shared by the candidate-generating dedup plans: intersect
+    * full shingle sets only for candidate pairs (a, b), keep pairs with
+    * Jaccard >= numer/denom; integer arithmetic only
+    * (denom*common >= numer*union). Output: (a, b, common, union_).
     */
-  def minhashSignatures(corpus: DataFrame, k: Int = 32): DataFrame =
-    minhashSignaturesFrom(shingles(corpus), k)
-
-  private def minhashSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** MinHash+LSH near-dup pairs, exact-verified at token-3-gram Jaccard >=
-    * numer/denom. Candidates come from equality of any (band, bucket):
-    * bucket = hash of the band's `rows` signature slots.
-    *
-    * Band geometry: precision is always exact (verify step), so the only
-    * tunable is recall-vs-candidate-noise. Default (bands=32, rows=1) makes a
-    * J>=0.5 pair's miss probability (1-J)^32 <= 2.4e-10 — effectively exact,
-    * which is what lets this query share the brute-force DuckDB oracle. At
-    * larger corpus scale with lower-J cutoffs, (16, 2) halves candidate noise
-    * for a 1e-4-ish miss rate — pass it explicitly.
-    * Output: (a, b, common, union_), a < b.
-    */
-  def minhashLsh(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
-      bands: Int = 32, rows: Int = 1): DataFrame = {
-    // the shingle relation feeds signature building, sizes, and the verify
-    // join (4 subtree uses) — persist so it is computed once
-    val sh0 = shingles(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFrom(sh0, bands * rows)
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
-      val slots = (0 until rows).map(r => col(s"h${rows * b + r}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
-    }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    // exact verify: intersect shingle sets only for candidate pairs
-    val sh = sh0
+  private def verifyJaccard(
+      cands: DataFrame, sh: DataFrame, numer: Int, denom: Int): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cands
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("s", "sa"), "a")
@@ -133,33 +95,135 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("union_"))
   }
 
-  /** 64-bit SimHash per doc: bit i is the majority of bit i over the token
-    * hash multiset. One explode + one hash-agg (64 sums packed from a
-    * per-token ±1 vector), no UDAF.
+  /** Exact pairwise n-gram Jaccard >= numer/denom over the DF-CAPPED shingle
+    * universe: shingles appearing in more than maxDf documents are dropped —
+    * from both sides of the comparison — before the pair join (one window
+    * count in the same pass, no extra scan). The cap bounds the self-join's
+    * hottest key at maxDf² pairs; without it, one corpus-common shingle
+    * ("and the of …") makes the join quadratic at web scale. Cost is recall
+    * only, and only for pairs whose ENTIRE overlap is corpus-hot filler —
+    * hot shingles carry no near-dup signal, which is why dropping them from
+    * the universe (not just from candidate generation) is the standard
+    * construction. With the default cap no shingle in the sf<=0.01 harness
+    * corpora is dropped, so the query shares the uncapped DuckDB oracle
+    * (equality also pinned by OpsSpec).
+    * Output: (a, b, common, union_) with a < b.
+    */
+  def ngramJaccard(corpus: DataFrame, numer: Int = 1, denom: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col("s"))
+    // persisted: feeds the self-join (2 sides) + sizes
+    val sh = shingles(corpus)
+      .withColumn("df", count(lit(1)).over(w))
+      .where(col("df") <= maxDf)
+      .drop("df")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("union_", col("na") + col("nb") - col("common"))
+      .where(col("common") * denom >= col("union_") * numer)
+      .select(col("a"), col("b"), col("common"), col("union_"))
+  }
+
+  /** 60-bit portable hash (same value computable by DuckDB): the first 15 hex
+    * digits of md5(s + "#" + salt) as an integer. ~5x the cost of xxhash64 —
+    * used only where cross-engine reproducibility buys an exact SQL oracle.
+    */
+  private def portableHash60(s: Column, salt: Int): Column =
+    conv(substring(md5(concat(s, lit("#" + salt))), 1, 15), 16, 10).cast("long")
+
+  private def shingleHash(s: Column, salt: Int, portable: Boolean): Column =
+    if (portable) portableHash60(s, salt) else xxhash64(s, lit(salt))
+
+  /** MinHash signatures: k independent permutations approximated by seeded
+    * hashes; one hash-agg per doc (no per-doc loops).
+    */
+  def minhashSignatures(corpus: DataFrame, k: Int = 32,
+      portable: Boolean = false): DataFrame =
+    minhashSignaturesFrom(shingles(corpus), k, portable)
+
+  private def minhashSignaturesFrom(sh: DataFrame, k: Int, portable: Boolean): DataFrame = {
+    val aggs = (0 until k).map(j => min(shingleHash(col("s"), j, portable)).as(s"h$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified at token-3-gram Jaccard >=
+    * numer/denom. Candidates come from equality of any (band, bucket):
+    * bucket = the band's `rows` signature slots.
+    *
+    * Band geometry: precision is always exact (verify step), so the only
+    * tunable is recall-vs-candidate-noise. Default (bands=32, rows=1) makes a
+    * J>=0.5 pair's miss probability (1-J)^32 <= 2.4e-10 — effectively exact,
+    * which is what lets that query share the brute-force DuckDB oracle. The
+    * production geometry at web scale is (16, 2): P(candidate | J) =
+    * 1-(1-J²)^16, i.e. ~1% miss at J=0.5 but ~26x less candidate noise from
+    * low-J pairs — registered as `dedup_minhash_lsh_16x2` with
+    * `portable=true`, whose DuckDB oracle replicates the full LSH mechanics
+    * (signatures, banding, verify) rather than brute force.
+    * Output: (a, b, common, union_), a < b.
+    */
+  def minhashLsh(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
+      bands: Int = 32, rows: Int = 1, portable: Boolean = false): DataFrame = {
+    // the shingle relation feeds signature building, sizes, and the verify
+    // join — persist so it is computed once (see caching contract above)
+    val sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFrom(sh, bands * rows, portable)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val slots = (0 until rows).map(r => col(s"h${rows * b + r}"))
+      // portable bucket key = the raw slot values (DuckDB-reproducible);
+      // xxhash64 otherwise (cheaper shuffle key)
+      val bucket = if (portable) concat_ws(":", slots: _*) else xxhash64(slots: _*).cast("string")
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cands, sh, numer, denom)
+  }
+
+  /** 60-bit SimHash per doc: bit j of a token's hash is bit (j%4) of hex
+    * digit j/4 of md5(token) — portable arithmetic, so DuckDB computes the
+    * IDENTICAL signature and dedup_simhash gets an exact SQL oracle
+    * (xxhash64 would be ~2x cheaper but is not reproducible outside Spark).
+    * Signature bit i is the majority of bit i over the token hash multiset:
+    * one explode + one 60-column hash-agg (sums of a per-token ±1), no UDAF.
     */
   def simhashSignatures(corpus: DataFrame): DataFrame = {
     val tok = corpus.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(1L) * 2 - 1).as(s"b$i")
+      .withColumn("h", md5(col("t")))
+    val digits = (0 until 15).map(k =>
+      conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
+    val withDigits = tok.select(col("doc_id") +: digits: _*)
+    val bitSums = (0 until 60).map { j =>
+      sum(shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1) * 2 - 1).as(s"b$j")
     }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ bitwiseOR _) // OR, not +: bit 63 would overflow a signed add
+    val agg = withDigits.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ bitwiseOR _) // OR, not +: keeps the packing overflow-proof
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (default 3).
-    * Band join on 4x16-bit slices is EXACT for <=3 by pigeonhole.
+    * Band join on 4x15-bit slices is EXACT for <=3 by pigeonhole.
     * Output: (a, b, hamming).
     */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(corpus)
     val bandCols = (0 until 4).map { k =>
       struct(lit(k).as("band"),
-        shiftrightunsigned(col("sig"), 16 * k).bitwiseAND(0xFFFFL).as("key"))
+        shiftrightunsigned(col("sig"), 15 * k).bitwiseAND(0x7FFFL).as("key"))
     }
     val bands = sigs.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.key").as("key"))
@@ -167,7 +231,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -185,12 +249,40 @@ object Dedup {
     base.unionByName(mutated)
   }
 
-  /** Embedding-cosine near-dup pairs (cosine >= threshold), brute-force
-    * pairwise; at scale the identical predicate runs inside LSH/IVF blocks
-    * (see Similarity) — this is the verify kernel.
+  /** Embedding-cosine near-dup pairs (cosine >= threshold), blocked:
+    * candidate pairs come from random-hyperplane LSH band collisions
+    * ([[graft.kg.expr.SignBands]]) and only candidates pay the exact cosine
+    * predicate — an equi-join-shaped plan (never an all-pairs nested loop;
+    * PlanShapeSpec asserts it). Default geometry 24 bands × 12 bits: miss
+    * probability <= 4e-4 at exactly cos = 0.95 (θ/π ≈ 0.101 →
+    * (1 - 0.899^12)^24), < 1e-12 at cos >= 0.99 — near-dup pairs in practice
+    * sit far above the threshold, so the plan shares the brute-force DuckDB
+    * oracle (equality also pinned by OpsSpec against [[embeddingNearDupsBrute]]);
+    * a ~0-cos random pair becomes a candidate with p ≈ 0.6%.
     * Output: (a, b), a < b.
     */
-  def embeddingNearDups(derived: DataFrame, threshold: Double = 0.95): DataFrame = {
+  def embeddingNearDups(derived: DataFrame, threshold: Double = 0.95,
+      bands: Int = 24, rows: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = SignBandsAlgo.planes(bands, rows, dim, seed)
+    val keyed = derived.select(col("vec_id"),
+      posexplode(signBands(col("emb"), planes, bands, rows)).as(Seq("band", "key")))
+    val cands = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val withNorm = derived.select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("norm"))
+    cands
+      .join(withNorm.select(col("vec_id").as("a"), col("emb").as("ea"), col("norm").as("na")), "a")
+      .join(withNorm.select(col("vec_id").as("b"), col("emb").as("eb"), col("norm").as("nb")), "b")
+      .where(dotProduct(col("ea"), col("eb")) >= lit(threshold) * col("na") * col("nb"))
+      .select(col("a"), col("b"))
+  }
+
+  /** Brute-force all-pairs variant — O(n²), the verify kernel and spec oracle
+    * for [[embeddingNearDups]]; never the registered query.
+    */
+  def embeddingNearDupsBrute(derived: DataFrame, threshold: Double = 0.95): DataFrame = {
     val withNorm = derived.withColumn("norm", l2Norm(col("emb")))
     val dot = dotProduct(col("x.emb"), col("y.emb"))
     withNorm.as("x").join(withNorm.as("y"), col("x.vec_id") < col("y.vec_id"))

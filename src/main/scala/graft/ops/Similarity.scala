@@ -15,9 +15,12 @@ import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
   *    full scan: correct but the slow path; it is also the verify oracle for
   *    the ANN plan.
   *  - [[ivfTopK]] — IVF: vectors are pre-assigned to coarse centroids (here:
-  *    deterministic seed vectors; k-means at scale), the query probes only
-  *    the nProbe nearest cells, so the scan touches ~nProbe/nCells of the
-  *    data. Recall measured in SimilaritySpec.
+  *    deterministic seed vectors; k-means at scale) by [[ivfAssign]], the
+  *    assignment is MATERIALIZED as a cell-partitioned table ([[materializedIndex]]
+  *    — built once, reused by every query), and a query probes only its
+  *    nProbe nearest cells, so the scan is partition-pruned to
+  *    ~nProbe/nCells of the data. Recall measured in OpsSpec; exactness of
+  *    the mechanics checked by the sim_ivf_topk DuckDB oracle.
   */
 object Similarity {
 
@@ -28,11 +31,6 @@ object Similarity {
     embeddings.select(col("vec_id").cast("long").as("vec_id"), embCol.as("emb"))
       .withColumn("norm", l2Norm(col("emb")))
 
-  private def dotWith(q: Seq[Double]) = {
-    val qLit = typedLit(q)
-    dotProduct(col("emb"), col("qv")) -> qLit
-  }
-
   /** Exact cosine top-k against the embedding of `queryVecId`.
     * Output: (vec_id, rank), rank 1..k, query itself excluded.
     */
@@ -42,11 +40,10 @@ object Similarity {
       .select(col("emb"), col("norm")).head()
     val qv = q.getSeq[Double](0)
     val qn = q.getDouble(1)
-    val (dot, qLit) = dotWith(qv)
     rankTopK(
       p.where(col("vec_id") =!= queryVecId)
-        .withColumn("qv", qLit)
-        .withColumn("cos", dot / (col("norm") * lit(qn))), k)
+        .withColumn("qv", typedLit(qv))
+        .withColumn("cos", dotProduct(col("emb"), col("qv")) / (col("norm") * lit(qn))), k)
   }
 
   /** Distributed top-k then rank: `orderBy.limit(k)` plans as
@@ -62,39 +59,102 @@ object Similarity {
       .select(col("vec_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** IVF ANN: coarse cells = the embeddings of vec_id < nCells (deterministic
-    * stand-in for trained centroids); every vector assigned to its nearest
-    * cell once (a materialized index at scale); query probes nProbe cells.
+  /** The IVF index relation: every vector assigned to its nearest of nCells
+    * coarse cells (cells = the embeddings of vec_id < nCells — deterministic
+    * stand-in for trained centroids). One broadcast of the cells + a single
+    * max_by hash-agg: top-1-per-key is an aggregation, not a sort — no
+    * ranking window (same R11 rationale as the pipeline argmax), and the
+    * assignment sub-plan exists exactly once.
+    * Output: (vec_id, emb, norm, cell_id).
     */
-  def ivfTopK(spark: SparkSession, embeddings: DataFrame, queryVecId: Long = 0L,
-      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
     val p = prepared(embeddings)
     val cells = p.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"), col("norm").as("cell_norm"))
-    val cellDot = dotProduct(col("emb"), col("cell_emb"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_cos").desc, col("cell_id").asc)
-    val assigned = p.crossJoin(broadcast(cells))
-      .withColumn("cell_cos", cellDot / (col("norm") * col("cell_norm")))
-      .withColumn("rn", row_number().over(assignW))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("norm"), col("cell_id"))
-    val q = assigned.where(col("vec_id") === queryVecId).head()
-    val qv = q.getSeq[Double](1)
-    val qn = q.getDouble(2)
-    // probe cells: nProbe nearest cells to the query vector
-    val (qDotCell, qLit0) = (dotProduct(col("cell_emb"), col("qv")), typedLit(qv))
-    val probeCells = cells.withColumn("qv", qLit0)
-      .withColumn("cos", qDotCell / (col("cell_norm") * lit(qn)))
-      .orderBy(col("cos").desc, col("cell_id").asc)
-      .limit(nProbe)
-      .select(col("cell_id"))
-    val (dot, qLit) = dotWith(qv)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"),
+        col("norm").as("cell_norm"))
+    p.crossJoin(broadcast(cells)) // intentional: n x nCells scoring fan-out
+      .withColumn("cell_cos",
+        dotProduct(col("emb"), col("cell_emb")) / (col("norm") * col("cell_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("emb"), col("norm"), col("cell_id")),
+        // ties: highest cos, then lowest cell_id (mirrors the SQL oracle)
+        struct(col("cell_cos"), (-col("cell_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.emb").as("emb"), col("best.norm").as("norm"),
+        col("best.cell_id").cast("int").as("cell_id"))
+  }
+
+  /** Fixed index schema (never inferred — SURVEY.md §1.2; also means the
+    * probe read never touches a data-file footer outside the probed
+    * partitions). cell_id is the partition column.
+    */
+  val indexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("emb", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("norm", DoubleType, nullable = false),
+      StructField("cell_id", IntegerType, nullable = false)))
+  }
+
+  private val materializedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build-once IVF index: [[ivfAssign]] written as parquet PARTITIONED BY
+    * cell_id (per JVM, keyed by `tag`). At cluster scale this is a real
+    * materialized index table (TableIO/Iceberg layout); queries never rebuild
+    * the assignment, and the probe scan partition-prunes to the probed cells.
+    */
+  def materializedIndex(spark: SparkSession, embeddings: DataFrame, tag: String,
+      nCells: Int = 16): String =
+    materializedIdx.getOrElseUpdate(s"$tag/$nCells", {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      ivfAssign(embeddings, nCells).write.mode("overwrite")
+        .partitionBy("cell_id").parquet(dir)
+      dir
+    })
+
+  /** IVF ANN top-k over a materialized index: the query vector is a point
+    * lookup in the source table; cell probing scores nCells rows (metadata
+    * scale) and collects nProbe cell ids, so the index scan carries a STATIC
+    * `cell_id IN (...)` partition filter — at 10^12 rows only
+    * nProbe/nCells of the index is read (pruning asserted by PlanShapeSpec).
+    * Output: (vec_id, rank), rank 1..k.
+    */
+  /** The nProbe cell ids nearest the query vector (cos desc, cell_id asc) —
+    * an nCells-row job, metadata-scale; public so tests can assert which
+    * partitions a query is ALLOWED to touch.
+    */
+  def probeCells(embeddings: DataFrame, queryVecId: Long = 0L,
+      nCells: Int = 16, nProbe: Int = 4): Seq[Long] = {
+    val p = prepared(embeddings)
+    val q = p.where(col("vec_id") === queryVecId)
+      .select(col("emb"), col("norm")).head()
+    val qv = q.getSeq[Double](0)
+    val qn = q.getDouble(1)
+    p.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"),
+        col("norm").as("cell_norm"))
+      .withColumn("qv", typedLit(qv))
+      .withColumn("cos", dotProduct(col("cell_emb"), col("qv")) / (col("cell_norm") * lit(qn)))
+      .orderBy(col("cos").desc, col("cell_id").asc).limit(nProbe)
+      .select(col("cell_id")).collect().toSeq.map(_.getLong(0))
+  }
+
+  def ivfTopK(spark: SparkSession, indexDir: String, embeddings: DataFrame,
+      queryVecId: Long = 0L, k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.where(col("vec_id") === queryVecId)
+      .select(col("emb"), col("norm")).head()
+    val qv = q.getSeq[Double](0)
+    val qn = q.getDouble(1)
+    val probeIds = probeCells(embeddings, queryVecId, nCells, nProbe)
+    // int literals to match the partition column's type exactly — a cast
+    // around cell_id would defeat static partition pruning
+    val idx = spark.read.schema(indexSchema).parquet(indexDir)
+      .where(col("cell_id").isin(probeIds.map(_.toInt: Any): _*))
     rankTopK(
-      assigned
-        .join(broadcast(probeCells), "cell_id")
-        .where(col("vec_id") =!= queryVecId)
-        .withColumn("qv", qLit)
-        .withColumn("cos", dot / (col("norm") * lit(qn))), k)
+      idx.where(col("vec_id") =!= queryVecId)
+        .withColumn("qv", typedLit(qv))
+        .withColumn("cos", dotProduct(col("emb"), col("qv")) / (col("norm") * lit(qn))), k)
   }
 }

@@ -31,12 +31,18 @@ object StreamingIngest {
 
   /** Drive a parquet directory as a stream into an in-memory sink; returns
     * the query (caller: processAllAvailable() then read table `name`).
+    * Output mode is `update` — the mode in which the watermark above actually
+    * BOUNDS state (closed windows are dropped once the watermark passes);
+    * `complete` mode would keep every window forever and grow without bound
+    * on a long-running stream. The sink receives one row per
+    * (window, kind) per micro-batch in which its count changed; readers take
+    * the latest (= max, counts are monotone) row per key.
     */
   def runOnParquetDir(
       spark: SparkSession, dir: String, schema: StructType, name: String): StreamingQuery =
     spanKindCounts(spark.readStream.schema(schema).parquet(dir))
       .writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .start()

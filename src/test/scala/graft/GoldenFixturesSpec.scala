@@ -64,6 +64,57 @@ class GoldenFixturesSpec extends SparkTestBase {
     assert(spurious.isEmpty, s"spurious triples (precision < 1): $spurious")
   }
 
+  test("R3 scored titles: tag weight x position decides between head spans") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // h2 at position 0 (w=0.6) beats h1 at position 1 (w=1.0/2=0.5)
+      doc("fx-sc-early-h2", ("h2", "Data Scientist"), ("h1", "Software Engineer")) ->
+        "T001",
+      // h1 first (w=1.0) beats the later h2 (w=0.6/2=0.3)
+      doc("fx-sc-h1-first", ("h1", "Software Engineer"), ("h2", "Data Scientist")) ->
+        "T000",
+      // <title> tag alone (w=0.8), gender suffix stripped
+      doc("fx-sc-title-tag", ("title", "Product Owner (m/w)")) -> "T005")
+    val postings = spark.createDataset(docs.map(_._1)).toDF()
+    val got = Pipeline.titleTriplesScored(
+      graft.kg.extract.Extractors.textSpans(postings),
+      graft.kg.io.Dictionaries.titlesDf(spark))
+      .select("doc_id", "obj").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == docs.map { case (d, t) => d.doc_id -> t }.toMap)
+  }
+
+  test("R6 proficiency qualifiers attach to the mentioned language") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      doc("fx-prof-fluent", ("p", "Franzoesisch fliessend")) ->
+        Set("LANG02=fliessend"),
+      doc("fx-prof-native", ("p", "Deutsch Muttersprache"), ("p", "Englisch")) ->
+        Set("LANG00=Muttersprache"), // unqualified Englisch span: no triple
+      doc("fx-prof-none", ("p", "Deutsch und Englisch")) -> Set.empty[String])
+    val postings = spark.createDataset(docs.map(_._1)).toDF()
+    val got = Pipeline.languageProficiencyTriples(
+      graft.kg.extract.Extractors.textSpans(postings),
+      graft.kg.io.Dictionaries.languagesDf(spark))
+      .select("doc_id", "obj").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val expected = docs.collect { case (d, objs) if objs.nonEmpty => d.doc_id -> objs }.toMap
+    assert(got == expected)
+  }
+
+  test("R10 levenshtein title path picks the same winners as the JW path") {
+    val spans = graft.kg.extract.Extractors.textSpans(
+      graft.kg.io.SyntheticCorpus.postings(spark, "/root/testdata/sf0.001"))
+    val gaz = graft.kg.io.Dictionaries.titlesDf(spark)
+    def winners(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "obj").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(winners(Pipeline.titleTriplesLev(spans, gaz)) ==
+      winners(Pipeline.titleTriples(spans, gaz)))
+  }
+
   test("single-pass pipeline == multi-pass reference wiring") {
     val postings = graft.kg.io.SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
     val gaz = Pipeline.defaultGazetteers(spark)

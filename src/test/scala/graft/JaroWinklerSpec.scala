@@ -22,6 +22,15 @@ class JaroWinklerSpec extends SparkTestBase {
     assert(JaroWinklerAlgo.similarity("abc", "xyz") == 0.0)
   }
 
+  test("DuckDB-parity conventions: floored transpositions, 0.7 boost threshold") {
+    // values are DuckDB jaro_winkler_similarity outputs, checked offline;
+    // bit-identical parity >= 0.9 is what the kg_triples_full oracle rests on
+    assert(JaroWinklerAlgo.similarity("Data Scienist", "Data Scientist")
+      == 0.9703296703296703) // raw transpositions 3 -> t = 1 (floored), not 1.5
+    assert(JaroWinklerAlgo.similarity("Sofware Engineer", "Scrum Master")
+      == 0.5138888888888888) // jaro < 0.7 -> no prefix boost despite common 'S'
+  }
+
   test("symmetry and range on random strings (seeded property loop)") {
     val rnd = new scala.util.Random(42)
     def randStr(): String =

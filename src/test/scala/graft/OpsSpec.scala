@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,6 +36,37 @@ class OpsSpec extends SparkTestBase {
     assert(pairs(copies).subsetOf(lsh16))
   }
 
+  test("capped-shingle jaccard: short docs don't crash, cap only costs recall") {
+    val s = spark
+    import s.implicits._
+    // docs with 0/1/2 tokens exercise the sequence guard (a 2-token doc used
+    // to throw INVALID_PARAMETER_VALUE.START through the descending sequence)
+    val shorties = Seq((1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "three token doc"), (5L, "three token doc")).toDF("doc_id", "text")
+    assert(Dedup.shingles(shorties).count() == 2) // only the two 3-token docs
+    assert(pairs(Dedup.ngramJaccard(shorties, 1, 2)) == Set((4L, 5L)))
+    // a binding DF cap only shrinks the result (shared shingles of planted
+    // copies all have df >= 2, so maxDf = 1 erases every pair's overlap)
+    val uncapped = Dedup.ngramJaccard(corpus, 1, 2, maxDf = Int.MaxValue)
+    assert(pairs(Dedup.ngramJaccard(corpus, 1, 2, maxDf = 1)).subsetOf(pairs(uncapped)))
+    // non-binding cap (harness default) == uncapped exactly, incl. counts
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full(Dedup.ngramJaccard(corpus, 1, 2)) == full(uncapped))
+  }
+
+  test("portable 16x2 LSH: high recall on strong near-dups, exact precision") {
+    val brute = pairs(Dedup.ngramJaccard(corpus, 1, 2))
+    val lsh = pairs(Dedup.minhashLsh(corpus, 1, 2, bands = 16, rows = 2, portable = true))
+    assert(lsh.subsetOf(brute), "verify step must make precision exact")
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.95, s"16x2 recall on J>=0.5 pairs = $recall")
+    // planted exact copies (J = 1) must never be missed
+    val copies = corpus.where(col("doc_id") >= 2000000L)
+      .select((col("doc_id") - 2000000L).as("a"), col("doc_id").as("b"))
+    assert(pairs(copies).subsetOf(lsh))
+  }
+
   test("banded simhash candidate join is exact for hamming <= 3") {
     val sigs = Dedup.simhashSignatures(corpus).cache()
     val bruteForce = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
@@ -43,6 +76,8 @@ class OpsSpec extends SparkTestBase {
       .select("a", "b")
     val banded = Dedup.simhashPairs(corpus).select("a", "b")
     assert(pairs(banded) == pairs(bruteForce))
+    // 60-bit signatures: every bit must be below bit 60
+    assert(sigs.where(col("sig") < 0 || col("sig") >= (1L << 60)).isEmpty)
     // exact copies (doc_id+2_000_000) are hamming 0 and must all be found
     val copies = corpus.where(col("doc_id") >= 2000000L)
       .select((col("doc_id") - 2000000L).as("a"), col("doc_id").as("b"))
@@ -50,22 +85,52 @@ class OpsSpec extends SparkTestBase {
     sigs.unpersist()
   }
 
-  test("embedding near-dups: exactly the planted pairs") {
+  test("blocked embedding near-dups == brute force == the planted pairs") {
     val derived = Dedup.derivedEmbeddings(spark.read.parquet(s"$sf/embeddings.parquet"))
     val got = pairs(Dedup.embeddingNearDups(derived))
+    assert(got == pairs(Dedup.embeddingNearDupsBrute(derived)),
+      "hyperplane-LSH blocking must not lose pairs on this corpus")
     val planted = derived.where(col("vec_id") >= 1000000L)
       .select((col("vec_id") - 1000000L).as("a"), col("vec_id").as("b"))
     assert(pairs(planted) == got)
   }
 
-  test("IVF top-k recall@10 vs brute force") {
+  test("IVF top-k recall@10 vs brute force, over the materialized index") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.materializedIndex(spark, e, tag = sf)
     val brute = Similarity.bruteForceTopK(e).select("vec_id").collect()
       .map(_.getLong(0)).toSet
-    val ivf = Similarity.ivfTopK(spark, e).select("vec_id").collect()
+    val ivf = Similarity.ivfTopK(spark, idx, e).select("vec_id").collect()
       .map(_.getLong(0)).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@10 = $recall (ivf probes 4/16 cells)")
+  }
+
+  test("IVF probe scan is partition-pruned: non-probed cells are never read") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // private index copy (not the shared materializedIndex) — we corrupt it
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    Similarity.ivfAssign(e).write.mode("overwrite").partitionBy("cell_id").parquet(idxDir)
+    val probed = Similarity.probeCells(e).toSet
+    assert(probed.size == 4)
+    // overwrite every NON-probed cell's data files with garbage: any read
+    // touching them now throws, so a successful query proves pruning
+    val corrupted = java.nio.file.Files.list(java.nio.file.Paths.get(idxDir))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell_id="))
+      .filterNot(p => probed(p.getFileName.toString.stripPrefix("cell_id=").toLong))
+      .flatMap(d => java.nio.file.Files.list(d).iterator().asScala)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f => java.nio.file.Files.write(f, "garbage".getBytes); f }
+      .toList
+    assert(corrupted.nonEmpty)
+    assert(Similarity.ivfTopK(spark, idxDir, e).count() == 10)
+    // sanity: the corruption is real — reading a corrupted cell fails
+    intercept[Throwable] {
+      val bad = corrupted.head.getParent.getFileName.toString.stripPrefix("cell_id=").toInt
+      spark.read.schema(Similarity.indexSchema).parquet(idxDir)
+        .where(col("cell_id") === bad).collect()
+    }
   }
 
   test("exact dedup flags exactly the planted copies") {

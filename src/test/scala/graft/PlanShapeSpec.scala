@@ -32,6 +32,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("blocked embedding dedup is equi-join shaped: no nested-loop, no cartesian") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "dedup_embedding degenerated to an all-pairs nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("levenshtein title linking: blocked equi-join, no cartesian/nested-loop") {
+    val p = plan("kg_title_lev")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVF probe: the index scan carries a cell_id partition filter") {
+    val p = plan("sim_ivf_topk")
+    val idxScan = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("graft-ivf-index"))
+      .mkString("\n")
+    assert(idxScan.contains("PartitionFilters: [cell_id"),
+      s"probe scan not partition-pruned:\n$idxScan")
+  }
+
   test("salted skill join takes the shuffle (non-broadcast) path") {
     val p = plan("kg_skills_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)

@@ -63,6 +63,36 @@ class ResumeSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("resume never re-reads committed partitions (stats scan partition-pruned)") {
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("prune")
+    val t = triples().cache()
+    // run 1: commit only hasTitle
+    val m1 = TableIO.writeTriples(spark, t.where(col("pred") === "hasTitle"), root)
+    assert(m1.nonEmpty && m1.forall(_.pred == "hasTitle"))
+    // corrupt EVERY committed data file: any read touching them now throws,
+    // so a successful resume run proves its stats scan pruned them away
+    val corrupted = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => p.toString.contains("pred=hasTitle") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map { f => Files.write(f, "garbage".getBytes); f }
+      .toList
+    assert(corrupted.nonEmpty)
+    // resume with the full triple set — writes + stats only the fresh preds
+    val m2 = TableIO.writeTriples(spark, t, root, inputLineage = "resume \"quoted\"")
+    assert(m2.nonEmpty)
+    assert(m2.forall(_.pred != "hasTitle"), "resume re-manifested a committed partition")
+    // lineage with quotes is escaped into valid JSON
+    assert(m2.head.json.contains("resume \\\"quoted\\\""))
+    // sanity: the corruption is real — a full stats read over all committed
+    // partitions (what the old implementation did) fails
+    intercept[Throwable] {
+      TableIO.partitionStats(spark, root,
+        TableIO.committed(root).toSeq).collect()
+    }
+    t.unpersist()
+  }
+
   test("manifests carry lineage and row counts that match the data") {
     val root = tmpDir("manifest")
     val t = triples()

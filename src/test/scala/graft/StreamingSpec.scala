@@ -23,7 +23,10 @@ class StreamingSpec extends SparkTestBase {
     val q = StreamingIngest.runOnParquetDir(spark, dir, schema, "span_counts")
     try q.processAllAvailable() finally q.stop()
 
+    // update-mode sink: one row per (window, kind) per micro-batch in which
+    // the count changed; latest value = max (counts are monotone)
     val streamed = spark.table("span_counts")
+      .groupBy("win_start", "kind").agg(max("n").as("n"))
       .groupBy("kind").agg(sum("n").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val batch = postings.select(explode(col("spans")).as("s"))
