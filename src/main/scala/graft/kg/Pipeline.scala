@@ -165,7 +165,24 @@ object Pipeline {
     * joins/aggregations. The corpus is read exactly once however many
     * predicates are extracted — the only shape that holds at 10^12 docs.
     */
-  def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame = {
+  def allTriples(postings: DataFrame, gaz: Gazetteers): DataFrame =
+    dedupTriples(allTriplesRaw(postings, gaz))
+
+  /** The deterministic (subj, pred, obj) dedup the per-branch union needs:
+    * branches emit DISJOINT predicates, so this only merges repeated mentions
+    * of one entity within a doc (max score, min evidence offset).
+    */
+  def dedupTriples(raw: DataFrame): DataFrame =
+    raw
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(max(col("score")).as("score"), min(col("src_offset")).cast("int").as("src_offset"))
+
+  /** Pre-dedup union of all predicate branches (single corpus scan; see
+    * [[allTriples]]). The hot write path feeds this STRAIGHT into
+    * `TableIO.writeTriplesDeduped`, which fuses the dedup aggregation with
+    * the (pred, bucket) layout shuffle — one exchange instead of two.
+    */
+  def allTriplesRaw(postings: DataFrame, gaz: Gazetteers): DataFrame = {
     val prep = gaz.prep // prep-pass facts + validation, once per gaz instance
     val spans = Extractors.textSpans(postings)
     val cands = Extractors.candidates(spans, prep.mentionTwoGramKinds)
@@ -213,9 +230,8 @@ object Pipeline {
     }
 
     Seq(workload, mentions, titles, companies).reduce(_.unionByName(_))
-      .groupBy(col("doc_id"), col("pred"), col("obj"))
-      .agg(max(col("score")).as("score"), min(col("src_offset")).cast("int").as("src_offset"))
-      .select(col("doc_id").as("subj"), col("pred"), col("obj"), col("score"), col("src_offset"))
+      .select(col("doc_id").as("subj"), col("pred"), col("obj"), col("score"),
+        col("src_offset").cast("int").as("src_offset"))
   }
 
   /** Pre-single-pass reference wiring (kept for A/B comparison in tests:

@@ -122,19 +122,51 @@ object TableIO {
     */
   def writeTriples(spark: SparkSession, triples: DataFrame, root: String,
       buckets: Int = BucketsDefault, inputLineage: String = ""): Seq[PartitionManifest] = {
+    val pending = resumeFilter(spark, triples, root, buckets)
+      // one output file per partition dir keeps the file count bounded at
+      // high bucket counts; at cluster scale raise buckets, not files/bucket
+      .repartition(col("pred"), col("bucket"))
+    commitPending(spark, pending, root)(inputLineage)
+  }
+
+  /** Fused dedup + layout for PRE-AGGREGATION triple rows (the hot write
+    * path): because `bucket` is a pure function of `subj`, hash-distributing
+    * by (pred, bucket) already co-locates every (subj, pred, obj) group, so
+    * the dedup aggregation after `repartition(pred, bucket)` needs NO second
+    * exchange (HashPartitioning(pred, bucket) satisfies the agg's clustered
+    * distribution as a key subset) and its output partitioning feeds
+    * `partitionBy(pred, bucket)` directly — ONE shuffle of the triple
+    * relation where aggregate-then-[[writeTriples]] pays two. PlanShapeSpec
+    * asserts the single-exchange plan; ResumeSpec asserts result equality
+    * with the two-step path.
+    */
+  def writeTriplesDeduped(spark: SparkSession, rawTriples: DataFrame, root: String,
+      buckets: Int = BucketsDefault, inputLineage: String = ""): Seq[PartitionManifest] =
+    commitPending(spark, dedupedPending(spark, rawTriples, root, buckets), root)(inputLineage)
+
+  /** The single-exchange dedup plan of [[writeTriplesDeduped]] (visible for
+    * plan-shape tests).
+    */
+  def dedupedPending(spark: SparkSession, rawTriples: DataFrame, root: String,
+      buckets: Int = BucketsDefault): DataFrame =
+    resumeFilter(spark, rawTriples, root, buckets)
+      .repartition(col("pred"), col("bucket"))
+      .groupBy(col("pred"), col("bucket"), col("subj"), col("obj"))
+      .agg(max(col("score")).as("score"),
+        min(col("src_offset")).cast("int").as("src_offset"))
+
+  private def commitPending(spark: SparkSession, pending: DataFrame, root: String)(
+      inputLineage: String): Seq[PartitionManifest] = {
     val t0 = System.nanoTime()
     // crash hygiene: data directories without a manifest are uncommitted
     // leftovers of an interrupted run — drop them before re-writing, else
     // append-mode would duplicate their rows
     dropUncommitted(root)
-    val pending = resumeFilter(spark, triples, root, buckets)
-      // one output file per partition dir keeps the file count bounded at
-      // high bucket counts; at cluster scale raise buckets, not files/bucket
-      .repartition(col("pred"), col("bucket"))
     pending.write
       .mode("append")
       .partitionBy("pred", "bucket")
       .parquet(root)
+    val tWrite = System.nanoTime()
     // lineage/metrics per freshly written partition (read back what we wrote:
     // the manifest must describe the bytes on disk, not the plan). The stats
     // scan is restricted to THIS run's fresh (pred, bucket) dirs via a
@@ -149,6 +181,9 @@ object TableIO {
       .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
       .toMap
     val wallSec = (System.nanoTime() - t0) / 1e9
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(f"[tableio] compute+write ${(tWrite - t0) / 1e9}%.1f s, " +
+        f"stats ${(System.nanoTime() - tWrite) / 1e9}%.1f s")
     val manifests = fresh.map { case (pred, bucket) =>
       val (rows, checksum) = stats((pred, bucket))
       PartitionManifest(pred, bucket, rows, checksum, wallSec, inputLineage)

@@ -55,6 +55,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe scan not partition-pruned:\n$idxScan")
   }
 
+  test("fused dedup write: the dedup agg reuses the layout shuffle (one fewer exchange)") {
+    import org.apache.spark.sql.functions.col
+    val postings = graft.kg.io.SyntheticCorpus.postings(spark, sf)
+    val gaz = graft.kg.Pipeline.defaultGazetteers(spark)
+    val raw = graft.kg.Pipeline.allTriplesRaw(postings, gaz)
+    val root = java.nio.file.Files.createTempDirectory("graft-fused-plan").toString
+    def nShuffles(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val fused = nShuffles(graft.kg.emit.TableIO.dedupedPending(spark, raw, root))
+    val twoStep = nShuffles(
+      graft.kg.Pipeline.dedupTriples(raw)
+        .withColumn("bucket", graft.kg.emit.TableIO.bucketCol(16))
+        .repartition(col("pred"), col("bucket")))
+    assert(fused == twoStep - 1,
+      s"fused plan has $fused shuffles, two-step has $twoStep — expected exactly one saved")
+  }
+
   test("salted skill join takes the shuffle (non-broadcast) path") {
     val p = plan("kg_skills_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)

@@ -93,6 +93,20 @@ class ResumeSpec extends SparkTestBase {
     t.unpersist()
   }
 
+  test("fused dedup write == aggregate-then-write (bit-identical table)") {
+    val postings = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+    val gaz = Pipeline.defaultGazetteers(spark)
+    val a = tmpDir("fused")
+    val b = tmpDir("twostep")
+    TableIO.writeTriplesDeduped(spark, Pipeline.allTriplesRaw(postings, gaz), a)
+    TableIO.writeTriples(spark, Pipeline.allTriples(postings, gaz), b)
+    def full(root: String) = TableIO.readTriples(spark, root)
+      .select("subj", "pred", "obj", "score", "src_offset").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(full(a) == full(b))
+  }
+
   test("manifests carry lineage and row counts that match the data") {
     val root = tmpDir("manifest")
     val t = triples()
