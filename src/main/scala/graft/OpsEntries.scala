@@ -89,30 +89,35 @@ object OpsEntries {
        |FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
        |WHERE common * $denom >= (sa.n + sb.n - common) * $numer""".stripMargin
 
-  /** The portable 60-bit hash of [[Dedup]]: first 15 hex digits of
-    * md5(s + "#" + salt) as an integer (hex digits via strpos, packed with
-    * integer shifts — no precision-losing float pow).
+  /** The portable 31-bit base hash of [[Dedup]]: first 15 hex digits of
+    * md5(s) as an integer (hex digits via strpos, packed with integer
+    * shifts — no precision-losing float pow), mod P.
     */
-  private def duckHash60(sExpr: String, salt: Int): String =
+  private def duckBaseHash(sExpr: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 15), k ->
-       |    ((strpos('0123456789abcdef', substr(md5($sExpr || '#$salt'), k, 1)) - 1)::BIGINT
-       |      << (4 * (15 - k))))) AS BIGINT)""".stripMargin
+       |    ((strpos('0123456789abcdef', substr(md5($sExpr), k, 1)) - 1)::BIGINT
+       |      << (4 * (15 - k))))) AS BIGINT) % ${Dedup.PortableP}""".stripMargin
 
-  /** Full-mechanics oracle for dedup_minhash_lsh_16x2: identical md5-based
-    * minhash signatures, identical (band, bucket) candidate join, identical
-    * exact verify — hash-equal output including any (intended) recall misses
-    * of the 16x2 geometry.
+  /** Full-mechanics oracle for dedup_minhash_lsh_16x2: identical md5-seeded
+    * universal-hash minhash signatures (constants shared verbatim with
+    * Dedup.portableHashParams), identical (band, bucket) candidate join,
+    * identical exact verify — hash-equal output including any (intended)
+    * recall misses of the 16x2 geometry.
     */
   private val minhashLsh16x2Sql: String = {
-    val sigCols = (0 until 32).map(j => s"min(${duckHash60("s", j)}) AS h$j").mkString(",\n  ")
+    val p = Dedup.PortableP
+    val sigCols = Dedup.portableHashParams(32).zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * hb + $b) % $p) AS h$j"
+    }.mkString(",\n  ")
     val bandSelects = (0 until 16).map { b =>
       s"SELECT doc_id, $b AS band, CAST(h${2 * b} AS VARCHAR) || ':' || CAST(h${2 * b + 1} AS VARCHAR) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""$corpusCte,
        |$shinglesCtes,
+       |shb AS (SELECT doc_id, ${duckBaseHash("s")} AS hb FROM sh),
        |sigs AS (SELECT doc_id,
        |  $sigCols
-       |  FROM sh GROUP BY doc_id),
+       |  FROM shb GROUP BY doc_id),
        |bands AS (
        |  $bandSelects
        |),

@@ -123,7 +123,10 @@ object SparkEntry {
     }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
-      Media.metadata(SyntheticCorpus.materializedPostings(s, dir))))
+      Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
+    // -- multimodal: (stub) decode -> feature-extract/resize chain -----------
+    "kg_media_features" -> ((s, dir) =>
+      Media.features(SyntheticCorpus.materializedPostings(s, dir))))
 
   // ---- analytic DuckDB oracles --------------------------------------------
 
@@ -316,6 +319,17 @@ object SparkEntry {
       s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,
          | CAST(320 + 32 * ((doc_id + i) % 5) AS BIGINT) AS width,
          | CAST(240 + 24 * ((doc_id + i) % 7) AS BIGINT) AS height
+         |FROM (SELECT doc_id,
+         |        unnest(generate_series(0, ((len(string_split(text, ' ')) + 7) // 8) - 1)) AS i
+         |      FROM documents)
+         |WHERE (doc_id + i) % 3 = 0""".stripMargin,
+    "kg_media_features" ->
+      s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,
+         | CAST((doc_id * 100003 + i * 17) % 1000000007 AS BIGINT) AS phash,
+         | CAST((doc_id * 7 + i * 13) % 10000 AS BIGINT) AS brightness_e4,
+         | CAST(64 AS BIGINT) AS thumb_w,
+         | CAST((64 * (240 + 24 * ((doc_id + i) % 7))) // (320 + 32 * ((doc_id + i) % 5)) AS BIGINT)
+         |   AS thumb_h
          |FROM (SELECT doc_id,
          |        unnest(generate_series(0, ((len(string_split(text, ' ')) + 7) // 8) - 1)) AS i
          |      FROM documents)

@@ -109,9 +109,12 @@ object Pipeline {
 
   /** Same result as [[skillTriples]] but through the skew-salted shuffle-join
     * path (hot key "Java"): correctness of salting is asserted by this and
-    * the broadcast plan sharing one oracle.
+    * the broadcast plan sharing one oracle. `salts = None` measures the salt
+    * factor from the fact side's key-frequency stats in a prep pass
+    * (SURVEY.md §4) — the registered query runs that path.
     */
-  def skillTriplesSalted(spans: DataFrame, skillsGaz: DataFrame, salts: Int = 8): DataFrame = {
+  def skillTriplesSalted(spans: DataFrame, skillsGaz: DataFrame,
+      salts: Option[Int] = None): DataFrame = {
     val li = spans.where(col("kind") === "li")
     val tokens = split(col("text"), " ")
     val grams: Seq[org.apache.spark.sql.Column] = (1 to 2).map { n =>
@@ -122,8 +125,10 @@ object Pipeline {
     }
     val gramRows = li.select(col("doc_id"), col("offset"),
       explode(flatten(array(grams: _*))).as("gram"))
+    val s = salts.getOrElse(Salting.measuredSalts(gramRows, "gram",
+      spans.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt))
     val joined = Salting.saltedJoin(
-      gramRows, skillsGaz.hint("shuffle_hash"), "gram", "surface", "doc_id", salts)
+      gramRows, skillsGaz.hint("shuffle_hash"), "gram", "surface", "doc_id", s)
     mentionTriples(
       joined.select(col("doc_id"), col("surface"), col("entity_id"), col("offset")),
       Pred.requiresSkill)

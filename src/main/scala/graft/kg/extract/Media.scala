@@ -36,4 +36,31 @@ object Media {
     m.select(col("doc_id").as("subj"), col("media_ref"),
       meta.getField("width").as("width"), meta.getField("height").as("height"))
   }
+
+  /** Fake feature-extraction kernels over decoded media (same stub boundary
+    * as [[decodeStub]]): a perceptual-hash stand-in, a brightness score, and
+    * an aspect-preserving thumbnail resize (integer arithmetic only, so the
+    * DuckDB oracle states the identical values). The plumbing is the real
+    * thing — per-span partition-parallel evaluation of a decode→feature
+    * chain; on a cluster with codecs the three expressions become one
+    * Arrow-batch UDF over the binary payload column.
+    * Output: (subj, media_ref, phash, brightness_e4, thumb_w, thumb_h).
+    */
+  def features(postings: DataFrame, thumbWidth: Int = 64): DataFrame = {
+    val m = Extractors.mediaSpans(postings)
+    val d = regexp_extract(col("media_ref"), RefRe, 1).cast("long")
+    val i = regexp_extract(col("media_ref"), RefRe, 2).cast("long")
+    val meta = decodeStub(col("media_ref"))
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    // two selects: div() needs the decoded dims as resolved columns — naming
+    // them in the same select would hit Spark's lateral-alias rebinding
+    m.select(col("doc_id").as("subj"), col("media_ref"),
+        ((d * 100003L + i * 17L) % 1000000007L).as("phash"),
+        ((d * 7L + i * 13L) % 10000L).as("brightness_e4"),
+        w.as("w0"), h.as("h0"))
+      .select(col("subj"), col("media_ref"), col("phash"), col("brightness_e4"),
+        lit(thumbWidth.toLong).as("thumb_w"),
+        expr(s"div($thumbWidth * h0, w0)").as("thumb_h"))
+  }
 }

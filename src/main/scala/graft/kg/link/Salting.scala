@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Prep-pass salt-factor measurement (SURVEY.md §4: "S chosen from
+    * key-frequency stats computed in a prep pass"): choose S so the hottest
+    * key's rows spread down to roughly an average shuffle partition's share —
+    * S = ceil(maxKeyRows * partitions / totalRows), clamped to [1, maxSalts].
+    * One aggregation over the fact side, run once per (fact shape, key) in
+    * the prep pass — never per plan build.
+    */
+  def measuredSalts(fact: DataFrame, factKey: String, partitions: Int,
+      maxSalts: Int = 64): Int = {
+    val row = fact.groupBy(col(factKey)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+    if (row.isNullAt(0)) 1
+    else {
+      val mx = row.getLong(0)
+      val tot = row.getLong(1)
+      math.max(1, math.min(maxSalts, math.ceil(mx.toDouble * partitions / tot).toInt))
+    }
+  }
+
   /** Salted equi-join of `fact` with `dim` on `fact(factKey) == dim(dimKey)`.
     *
     * @param spreadBy high-cardinality fact column whose hash spreads rows

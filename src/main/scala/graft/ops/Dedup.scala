@@ -131,27 +131,51 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("union_"))
   }
 
-  /** 60-bit portable hash (same value computable by DuckDB): the first 15 hex
-    * digits of md5(s + "#" + salt) as an integer. ~5x the cost of xxhash64 —
-    * used only where cross-engine reproducibility buys an exact SQL oracle.
+  /** Prime modulus of the portable universal-hash family (2^31 - 1). */
+  val PortableP: Long = 2147483647L
+
+  /** Deterministic (a_j, b_j) parameters of the portable minhash family
+    * h_j(x) = (a_j * x + b_j) mod P — the classic universal-hash permutation
+    * approximation. Shared VERBATIM with the DuckDB oracle SQL (OpsEntries
+    * embeds these constants), so signatures are reproducible cross-engine.
+    * All arithmetic stays below 2^62 (a, x < 2^31), ANSI-overflow-safe in
+    * both engines.
     */
-  private def portableHash60(s: Column, salt: Int): Column =
-    conv(substring(md5(concat(s, lit("#" + salt))), 1, 15), 16, 10).cast("long")
+  def portableHashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(k)((1L + rnd.nextInt((PortableP - 1).toInt).toLong,
+      rnd.nextInt(PortableP.toInt).toLong))
+  }
 
-  private def shingleHash(s: Column, salt: Int, portable: Boolean): Column =
-    if (portable) portableHash60(s, salt) else xxhash64(s, lit(salt))
+  /** Portable 31-bit shingle base hash (same value computable by DuckDB):
+    * first 15 hex digits of md5(s) as an integer, mod P. ONE md5 per shingle;
+    * the k permutations are linear transforms of this base (vs k md5s —
+    * measured ~2.5x cheaper at k=32).
+    */
+  private def portableBaseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % PortableP
 
-  /** MinHash signatures: k independent permutations approximated by seeded
-    * hashes; one hash-agg per doc (no per-doc loops).
+  /** MinHash signatures: k independent permutations, one hash-agg per doc
+    * (no per-doc loops). Default hashing is xxhash64 (fast, Spark-only);
+    * `portable = true` switches to the md5-seeded universal-hash family above
+    * so a SQL oracle can replicate the exact signatures.
     */
   def minhashSignatures(corpus: DataFrame, k: Int = 32,
       portable: Boolean = false): DataFrame =
     minhashSignaturesFrom(shingles(corpus), k, portable)
 
-  private def minhashSignaturesFrom(sh: DataFrame, k: Int, portable: Boolean): DataFrame = {
-    val aggs = (0 until k).map(j => min(shingleHash(col("s"), j, portable)).as(s"h$j"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  private def minhashSignaturesFrom(sh: DataFrame, k: Int, portable: Boolean): DataFrame =
+    if (portable) {
+      val params = portableHashParams(k)
+      val based = sh.select(col("doc_id"), portableBaseHash(col("s")).as("hb"))
+      val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+        min((lit(a) * col("hb") + lit(b)) % PortableP).as(s"h$j")
+      }
+      based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    } else {
+      val aggs = (0 until k).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j"))
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
 
   /** MinHash+LSH near-dup pairs, exact-verified at token-3-gram Jaccard >=
     * numer/denom. Candidates come from equality of any (band, bucket):

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming ingestion path.
@@ -28,6 +28,37 @@ object StreamingIngest {
       .groupBy(window(col("ingest_ts"), "5 minutes"), col("s.kind").as("kind"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("kind"), col("n"))
+
+  /** Stateful streaming ingest dedup: emit each doc_id the FIRST time it is
+    * seen across micro-batches (appended corpus chunks routinely re-ship
+    * documents; state = one boolean per key). This is the custom-state
+    * surface (`KeyValueGroupedDataset.flatMapGroupsWithState`) the streaming
+    * checklist asks for — the KG batch path itself stays anti-join resume
+    * per BASELINE.json:14. At scale, put a TTL on the state
+    * (GroupStateTimeout.ProcessingTimeTimeout) and back it with the exact
+    * md5 key of [[graft.ops.Dedup.exact]] instead of the raw id.
+    */
+  def firstSeenDocs(postings: DataFrame): Dataset[String] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.select(col("doc_id")).as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, _: Iterator[String], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(id) }
+      }
+  }
+
+  /** Drive [[firstSeenDocs]] over a parquet dir stream into a memory sink. */
+  def runFirstSeen(
+      spark: SparkSession, dir: String, schema: StructType, name: String): StreamingQuery =
+    firstSeenDocs(spark.readStream.schema(schema).parquet(dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
 
   /** Drive a parquet directory as a stream into an in-memory sink; returns
     * the query (caller: processAllAvailable() then read table `name`).

@@ -34,4 +34,25 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("stateful first-seen dedup emits each doc exactly once across batches") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val postings = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+    val batch1 = postings.where(col("doc_id").cast("long") < 300)
+    batch1.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val q = StreamingIngest.runFirstSeen(spark, dir, schema, "first_seen")
+    try {
+      q.processAllAvailable()
+      // second chunk overlaps the first (docs 200-299 re-shipped)
+      postings.where(col("doc_id").cast("long") >= 200)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("first_seen").collect().map(_.getString(0))
+    assert(emitted.length == 500, s"expected 500 unique docs, got ${emitted.length}")
+    assert(emitted.toSet.size == 500, "a doc_id was emitted more than once")
+  }
 }
