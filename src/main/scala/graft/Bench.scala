@@ -19,7 +19,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       spark.catalog.clearCache() // queries persist intermediates; isolate timings
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be VISIBLE, not just a suspiciously fast timing
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

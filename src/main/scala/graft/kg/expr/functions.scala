@@ -12,6 +12,12 @@ object functions {
 
   def l2_norm(a: Column): Column = VectorExprs.l2Norm(a)
 
+  /** Hyperplane-LSH band keys (Column API only — the plane matrix is a
+    * constructor parameter, not an expression, so no SQL registration).
+    */
+  def sign_bands(emb: Column, planes: Array[Double], bands: Int, rows: Int): Column =
+    SignBands.signBands(emb, planes, bands, rows)
+
   /** Register the scalar expressions with the session's FunctionRegistry so
     * `spark.sql("... jaro_winkler(a, b) ...")` works (SURVEY.md §4: custom
     * surface registered via FunctionRegistry).
