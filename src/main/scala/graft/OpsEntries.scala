@@ -89,14 +89,18 @@ object OpsEntries {
        |FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
        |WHERE common * $denom >= (sa.n + sb.n - common) * $numer""".stripMargin
 
-  /** The portable 31-bit base hash of [[Dedup]]: first 15 hex digits of
-    * md5(s) as an integer (hex digits via strpos, packed with integer
-    * shifts — no precision-losing float pow), mod P.
+  /** First 15 hex digits of md5(expr) packed into a 60-bit integer (hex
+    * digits via strpos, packed with integer shifts — no precision-losing
+    * float pow). Identical to Spark's `conv(substring(md5(x),1,15),16,10)`.
     */
-  private def duckBaseHash(sExpr: String): String =
+  private def duckHash60(sExpr: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 15), k ->
        |    ((strpos('0123456789abcdef', substr(md5($sExpr), k, 1)) - 1)::BIGINT
-       |      << (4 * (15 - k))))) AS BIGINT) % ${Dedup.PortableP}""".stripMargin
+       |      << (4 * (15 - k))))) AS BIGINT)""".stripMargin
+
+  /** The portable 31-bit base hash of [[Dedup]]: [[duckHash60]] mod P. */
+  private def duckBaseHash(sExpr: String): String =
+    s"${duckHash60(sExpr)} % ${Dedup.PortableP}"
 
   /** Full-mechanics oracle for dedup_minhash_lsh_16x2: identical md5-seeded
     * universal-hash minhash signatures (constants shared verbatim with
@@ -141,13 +145,14 @@ object OpsEntries {
     */
   private val simhashSql: String = {
     val bitSums = (0 until 60).map { j =>
-      s"sum(((((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) * 2 - 1)) AS b$j"
+      s"sum((((hb >> ${4 * (14 - j / 4) + j % 4}) & 1) * 2 - 1)) AS b$j"
     }.mkString(",\n  ")
     val sigOr = (0 until 60).map { j =>
       s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
     }.mkString(" | ")
     s"""$corpusCte,
-       |th AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM corpus),
+       |th AS (SELECT doc_id, ${duckHash60("t")} AS hb
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus)),
        |bits AS (SELECT doc_id,
        |  $bitSums
        |  FROM th GROUP BY doc_id),

@@ -223,16 +223,17 @@ object Dedup {
     * one explode + one 60-column hash-agg (sums of a per-token ±1), no UDAF.
     */
   def simhashSignatures(corpus: DataFrame): DataFrame = {
+    // ONE conv packs the 15 hex digits into a 60-bit integer; hex digit k
+    // (0-based) sits at bits [4*(14-k), 4*(14-k)+3], so signature bit j
+    // (= bit j%4 of digit j/4) is one shift+mask — no per-digit columns
     val tok = corpus.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", md5(col("t")))
-    val digits = (0 until 15).map(k =>
-      conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"d$k"))
-    val withDigits = tok.select(col("doc_id") +: digits: _*)
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("hb"))
     val bitSums = (0 until 60).map { j =>
-      sum(shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1) * 2 - 1).as(s"b$j")
+      sum(shiftright(col("hb"), 4 * (14 - j / 4) + j % 4).bitwiseAND(1L) * 2 - 1).as(s"b$j")
     }
-    val agg = withDigits.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 60).map { j =>
       when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ bitwiseOR _) // OR, not +: keeps the packing overflow-proof
