@@ -65,6 +65,12 @@ object Dedup {
     * emit none — the size guard matters because `sequence(1, size-n+1)`
     * DESCENDS when size < n (Spark defaults to step -1 when start > stop) and
     * the slice at index 0 then throws INVALID_PARAMETER_VALUE.START.
+    *
+    * Partitioned BY doc_id before the distinct: HashPartitioning(doc_id)
+    * satisfies the clustered distributions of the distinct (keys doc_id, s),
+    * the per-doc size agg, AND the minhash signature agg (key doc_id) as a
+    * key subset — so all three downstream aggregations run on this ONE
+    * exchange instead of one each.
     */
   def shingles(corpus: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
@@ -72,7 +78,9 @@ object Dedup {
       s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
         s"i -> array_join(slice(split(text, ' '), i, $n), ' '))"))
       .otherwise(expr("cast(array() as array<string>)"))
-    corpus.select(col("doc_id"), explode(grams).as("s")).distinct()
+    corpus.select(col("doc_id"), explode(grams).as("s"))
+      .repartition(col("doc_id"))
+      .distinct()
   }
 
   /** Exact verify shared by the candidate-generating dedup plans: intersect
