@@ -106,8 +106,13 @@ object Dictionaries {
     GazEntry(languageId(i), s, s)
   }
 
-  val gazLocations: Seq[GazEntry] = locations.zipWithIndex.map { case ((_, city), i) =>
-    GazEntry(locationId(i), city, city)
+  /** Locations: the city surface AND its 4-digit PLZ (SURVEY.md §2.1 R9:
+    * Swiss locality + PLZ gazetteer) — a footer mentioning only the postal
+    * code still links. PLZ surfaces start with a digit, which the
+    * uppercase-first gram pre-filter admits ([A-Z0-9]).
+    */
+  val gazLocations: Seq[GazEntry] = locations.zipWithIndex.flatMap { case ((plz, city), i) =>
+    Seq(GazEntry(locationId(i), city, city), GazEntry(locationId(i), plz, city))
   }
 
   val gazCompanies: Seq[GazEntry] = companyNames.indices.map { i =>

@@ -38,8 +38,26 @@ class GoldenFixturesSpec extends SparkTestBase {
       Set((Pred.requiresLanguage, "LANG00"), (Pred.requiresLanguage, "LANG01")),
     doc("fx-location-plz", ("footer", "8005 Zuerich")) ->
       Set((Pred.locatedIn, "LOC00")),
+    // PLZ-only footer still links (R9: locality + PLZ gazetteer)
+    doc("fx-location-plz-only", ("footer", "Arbeitsort: 3011")) ->
+      Set((Pred.locatedIn, "LOC01")),
     doc("fx-company", ("footer", "Acme AG")) ->
       Set((Pred.postedBy, "C00")),
+    // frequency argmax: the footer surface seen most often wins
+    doc("fx-company-freq", ("footer", "Finova GmbH"), ("footer", "Acme AG"),
+      ("footer", "Finova GmbH")) ->
+      Set((Pred.postedBy, "C07")),
+    // gender-suffix variant "/-in" strips before linking
+    doc("fx-title-in-suffix", ("h1", "Projektleiter/-in")) ->
+      Set((Pred.hasTitle, "T002")),
+    // workload needs a context keyword: a bare percentage is not a workload
+    doc("fx-workload-no-keyword", ("p", "discount 80 - 100% today")) ->
+      Set.empty,
+    // several workload spans: each normalized form is emitted
+    doc("fx-workload-multi", ("p", "Pensum 80 - 100%"), ("p", "Teilzeit 50%")) ->
+      Set((Pred.hasWorkload, "80-100"), (Pred.hasWorkload, "50-50")),
+    doc("fx-workload-vollzeit", ("p", "Vollzeit 100%")) ->
+      Set((Pred.hasWorkload, "100-100")),
     doc("fx-media-only", ("media", "img://m/0"), ("media", "img://m/1")) ->
       Set.empty,
     doc("fx-empty") -> Set.empty,
