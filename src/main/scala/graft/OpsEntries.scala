@@ -37,6 +37,11 @@ object OpsEntries {
         bands = 16, rows = 2, portable = true)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.derivedCorpus(docs(s, dir)))),
+    // the dedup DECISION: connected components over near-dup pairs pick one
+    // survivor per cluster (iterative large-star/small-star CC on a
+    // data-derived graph; oracle = recursive-CTE reachability)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
     // ---- similarity search -------------------------------------------------
@@ -163,6 +168,32 @@ object OpsEntries {
        |WHERE bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
   }
 
+  /** Recursive-CTE oracle for dedup_clusters: the same J>=1/2 pair relation,
+    * symmetric closure, transitive reachability, min-reachable per node;
+    * docs in no pair keep themselves.
+    */
+  private val dupClustersSql: String =
+    s"""${corpusCte.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
+       |$shinglesCtes,
+       |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |pr AS (SELECT a, b FROM cm
+       |       JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
+       |       WHERE common * 2 >= (sa.n + sb.n - common) * 1),
+       |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+       |nodes AS (SELECT DISTINCT x AS n FROM sym),
+       |reach(s, t) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x
+       |),
+       |comp AS (SELECT s AS d, min(t) AS keep FROM reach GROUP BY s)
+       |SELECT c.doc_id,
+       |  CAST(coalesce(comp.keep, c.doc_id) AS BIGINT) AS keep_id,
+       |  CAST(CASE WHEN coalesce(comp.keep, c.doc_id) != c.doc_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM corpus c LEFT JOIN comp ON comp.d = c.doc_id""".stripMargin
+
   private val embCte =
     """WITH emb AS (
       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -248,6 +279,7 @@ object OpsEntries {
     "dedup_minhash_lsh" -> jaccardSql(1, 2),
     "dedup_minhash_lsh_16x2" -> minhashLsh16x2Sql,
     "dedup_simhash" -> simhashSql,
+    "dedup_clusters" -> dupClustersSql,
     "dedup_embedding" ->
       s"""$embCte
          |SELECT x.vec_id AS a, y.vec_id AS b

@@ -312,6 +312,29 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
+  /** The dedup DECISION: near-dup pairs are only half the operator — a
+    * training-data pipeline must pick one survivor per duplicate CLUSTER
+    * (pairs are not transitive-closed: A~B, B~C often without A~C). Connected
+    * components over the pair graph (the same iterative large-star/small-star
+    * engine as surface canonicalization, R13) assign every doc its cluster's
+    * minimum doc_id as keep_id; docs in no pair keep themselves. Ids are
+    * zero-padded for the string-ordered CC so lexicographic min == numeric
+    * min (mirrored by the recursive-CTE oracle).
+    * Output: (doc_id, keep_id, is_dup).
+    */
+  def dupClusters(corpus: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame = {
+    val pad = (c: Column) => format_string("%09d", c)
+    val edges = minhashLsh(corpus, numer, denom)
+      .select(pad(col("a")).as("src"), pad(col("b")).as("dst"))
+    val comps = graft.kg.canon.ConnectedComponents.run(edges)
+    corpus.select(col("doc_id"))
+      .join(comps.withColumnRenamed("node", "doc_pad"), pad(col("doc_id")) === col("doc_pad"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component").cast("long"), col("doc_id")).as("keep_id"))
+      .select(col("doc_id"), col("keep_id"),
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
+  }
+
   /** Brute-force all-pairs variant — O(n²), the verify kernel and spec oracle
     * for [[embeddingNearDups]]; never the registered query.
     */

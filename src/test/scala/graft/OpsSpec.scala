@@ -133,6 +133,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dup clusters: one survivor per near-dup cluster, copies always dropped") {
+    val rows = Dedup.dupClusters(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keep = rows.map(r => r._1 -> r._2).toMap
+    assert(rows.length == corpus.count(), "one decision per doc")
+    // keep_id is a cluster MINIMUM: never above the doc itself
+    assert(rows.forall { case (d, k, _) => k <= d })
+    // planted exact copies (doc+2e6) are connected to their base: dropped,
+    // and their survivor is at most the base id
+    corpus.where(col("doc_id") >= 2000000L).select("doc_id").collect()
+      .map(_.getLong(0)).foreach { c =>
+        assert(keep(c) <= c - 2000000L, s"copy $c kept ${keep(c)}")
+      }
+    // a doc is a dup iff its survivor is someone else
+    assert(rows.forall { case (d, k, dup) => (dup == 1L) == (k != d) })
+  }
+
   test("exact dedup flags exactly the planted copies") {
     val d = Dedup.exact(corpus)
     val dups = d.where(col("is_dup") === 1)
