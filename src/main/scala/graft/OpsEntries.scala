@@ -46,6 +46,7 @@ object OpsEntries {
       Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
     // ---- similarity search -------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "sim_batch_topk" -> ((s, dir) => Similarity.batchTopK(emb(s, dir))),
     "sim_ivf_topk" -> ((s, dir) => {
       val idx = Similarity.materializedIndex(s, emb(s, dir), tag = dir)
       Similarity.ivfTopK(s, idx, emb(s, dir))
@@ -297,6 +298,18 @@ object OpsEntries {
         |      FROM emb, q WHERE emb.vec_id != 0)
         |QUALIFY rank <= 10""".stripMargin,
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_batch_topk" ->
+      """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 5)
+        |SELECT query_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+        |FROM (SELECT q.query_id, emb.vec_id,
+        |        list_dot_product(emb.e, q.qe) /
+        |          (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+        |      FROM emb, q WHERE emb.vec_id != q.query_id)
+        |QUALIFY rank <= 5""".stripMargin,
     "q_agg_filter" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -59,6 +59,29 @@ object Similarity {
       .select(col("vec_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Batched exact top-k: one scan scores ALL query vectors at once (queries
+    * broadcast; N×Q scored rows), then a ranking window PARTITIONED by query
+    * keeps k per query — partitioned windows shuffle by query id, never a
+    * one-task global sort. This is the multi-query shape (dedup candidate
+    * lookup, eval sweeps); at large Q the per-query probe path over the IVF
+    * index ([[ivfTopK]]) replaces the exact scan.
+    * Output: (query_id, vec_id, rank), rank 1..k per query.
+    */
+  def batchTopK(embeddings: DataFrame, queryIds: Seq[Long] = 0L until 5L,
+      k: Int = 5): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    p.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dotProduct(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** The IVF index relation: every vector assigned to its nearest of nCells
     * coarse cells (cells = the embeddings of vec_id < nCells — deterministic
     * stand-in for trained centroids). One broadcast of the cells + a single
