@@ -112,9 +112,10 @@ object Dedup {
     * only, and only for pairs whose ENTIRE overlap is corpus-hot filler —
     * hot shingles carry no near-dup signal, which is why dropping them from
     * the universe (not just from candidate generation) is the standard
-    * construction. With the default cap no shingle in the sf<=0.01 harness
-    * corpora is dropped, so the query shares the uncapped DuckDB oracle
-    * (equality also pinned by OpsSpec).
+    * construction. The default cap binds on NO harness corpus (max measured
+    * shingle DF at sf0.1 is 42), so the query shares the uncapped DuckDB
+    * oracle (equality also pinned by OpsSpec); it exists for the web-scale
+    * corpus, where boilerplate shingles reach millions of docs.
     * Output: (a, b, common, union_) with a < b.
     */
   def ngramJaccard(corpus: DataFrame, numer: Int = 1, denom: Int = 5,
