@@ -19,11 +19,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       spark.catalog.clearCache() // queries persist intermediates; isolate timings
       val t0 = System.nanoTime()
-      // a failed query must be VISIBLE, not just a suspiciously fast timing
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      // a failed query must be VISIBLE in the JSON itself (negative seconds),
+      // not just on stderr — a fast failure must never read as a fast success
+      val sign = try { fn(spark, sfDir).count(); 1.0 } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> sign * (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

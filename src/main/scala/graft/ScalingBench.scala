@@ -76,10 +76,22 @@ object ScalingBench {
     // partitions — file layout independent of cpus keeps the comparison fair).
     val postingsDir = {
       val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = s"/tmp/graft-postings-$tag-x$repl"
-      if (!Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      // keyed by the derivation VERSION too: a cache written by older code
+      // must never be silently reused after the derivation changes
+      val dir = s"/tmp/graft-postings-$tag-x$repl-v${SyntheticCorpus.DerivationVersion}"
+      val target = java.nio.file.Paths.get(dir)
+      if (!Files.exists(target.resolve("_SUCCESS"))) {
+        // write to a private dir, publish with an atomic rename: a concurrent
+        // bench either wins the rename or reads the winner's table — never a
+        // half-written directory
+        val tmp = Files.createTempDirectory("graft-postings-build")
         val docs = replicatedDocs(spark, sfDir, repl, 64)
-        SyntheticCorpus.fromDocuments(docs).write.mode("overwrite").parquet(dir)
+        SyntheticCorpus.fromDocuments(docs).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.FileSystemException =>
+          graft.kg.emit.TableIO.deleteTree(tmp.toString) // lost the race
+        }
       }
       dir
     }

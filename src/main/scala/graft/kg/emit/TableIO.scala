@@ -209,7 +209,8 @@ object TableIO {
       partitions: Seq[(String, Int)]): DataFrame = {
     val keep = partitions
       .map { case (p, b) => col("pred") === p && col("bucket") === b }
-      .reduce(_ || _)
+      .reduceOption(_ || _)
+      .getOrElse(lit(false)) // no partitions requested -> empty result, not a crash
     spark.read.schema(tableSchema).parquet(root)
       .where(keep)
       .groupBy(col("pred"), col("bucket"))

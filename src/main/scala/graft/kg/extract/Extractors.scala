@@ -1,9 +1,9 @@
 package graft.kg.extract
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.kg.io.GazetteerIO
 import graft.kg.schema.Schemas.Pred
 
 /** Span-level extraction stages (SURVEY.md §2.1 R2–R9). All pure
@@ -93,14 +93,13 @@ object Extractors {
     * (a prep-pass fact — Pipeline derives it from the gazetteers via
     * GazetteerIO.hasMultiTokenSurface; hardcoding it would silently miss
     * mentions if a multi-token surface were added to another kind's
-    * gazetteer).
+    * gazetteer). `mentionKinds`: the span kinds that have ANY mention
+    * gazetteer (also derived from the dims — a hardcoded list would silently
+    * emit zero mentions for a newly added dimension's kind).
     */
   def candidates(spans: DataFrame,
-      twoGramKinds: Seq[String] = Seq("li", "footer")): DataFrame = {
-    def upperStart(c: Column): Column = {
-      val h = substring(c, 1, 1)
-      (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
-    }
+      twoGramKinds: Seq[String] = Seq("li", "footer"),
+      mentionKinds: Seq[String] = Seq("li", "p", "footer")): DataFrame = {
     def cand(ctype: String, payload: Column): Column =
       struct(lit(ctype).as("ctype"), payload.as("payload"))
 
@@ -125,14 +124,15 @@ object Extractors {
       array(cand("company", trim(col("text"))))).otherwise(emptyCands)
 
     val tokens = split(col("text"), " ")
-    val oneGrams = transform(filter(tokens, t => upperStart(t)), t => cand("gram", t))
+    val oneGrams = transform(filter(tokens, t => GazetteerIO.upperStart(t)),
+      t => cand("gram", t))
     val twoGrams = when(col("kind").isin(twoGramKinds.map(x => x: Any): _*) && size(tokens) >= 2,
       transform(
         filter(transform(sequence(lit(1), size(tokens) - 1), k =>
-          array_join(slice(tokens, k, lit(2)), " ")), g => upperStart(g)),
+          array_join(slice(tokens, k, lit(2)), " ")), g => GazetteerIO.upperStart(g)),
         g => cand("gram", g)))
       .otherwise(emptyCands)
-    val grams = when(col("kind").isin("li", "p", "footer"),
+    val grams = when(col("kind").isin(mentionKinds.map(x => x: Any): _*),
       concat(oneGrams, twoGrams)).otherwise(emptyCands)
 
     spans
@@ -168,19 +168,16 @@ object Extractors {
         lit(pred).as("pred"))
     }.reduce(_ unionByName _)
     // Every gazetteer surface starts with an uppercase letter or a digit
-    // (prep-pass contract), while body filler is lowercase — filtering tokens
-    // by first char before the gram explode drops ~95% of gram rows (and the
-    // memory traffic that dominates this stage) without changing results.
-    def upperStart(c: Column): Column = {
-      val h = substring(c, 1, 1)
-      (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
-    }
+    // (prep-pass contract, GazetteerIO.validated), while body filler is
+    // lowercase — filtering tokens by first char before the gram explode
+    // drops ~95% of gram rows (and the memory traffic that dominates this
+    // stage) without changing results.
     val tokens = split(col("text"), " ")
-    val oneGrams = filter(tokens, t => upperStart(t))
+    val oneGrams = filter(tokens, t => GazetteerIO.upperStart(t))
     val twoGrams = when(col("kind").isin(multiTokenKinds.map(x => x: Any): _*) &&
         size(tokens) >= 2,
       filter(transform(sequence(lit(1), size(tokens) - 1), k =>
-        array_join(slice(tokens, k, lit(2)), " ")), g => upperStart(g)))
+        array_join(slice(tokens, k, lit(2)), " ")), g => GazetteerIO.upperStart(g)))
       .otherwise(typedLit(Seq.empty[String]))
     spans
       .where(col("kind").isin(gazByKind.map(_._1: Any): _*))
@@ -271,28 +268,40 @@ object Extractors {
           .when(col("kind") === "title", 0.8)
           .otherwise(0.6) / (lit(1.0) + col("offset"))).as("w"))
 
+  private val ProficiencyRe =
+    "verhandlungssicher|fliessend|Grundkenntnisse|Muttersprache"
+
   /** R6 depth — proficiency qualifiers (SURVEY.md §2.1 R6: "proficiency
-    * keywords"): language mentions inside a span that carries a qualifier
-    * keyword get (entity, qualifier) pairs. One regexp per span + the same
-    * uppercase-first 1-gram broadcast join as R4 (language surfaces are
-    * single-token — asserted by the p-kind gazetteer's prep fact).
+    * keywords"): every language mention is paired with the NEAREST qualifier
+    * keyword at-or-after its token position within the same span ("Englisch
+    * Grundkenntnisse und Deutsch verhandlungssicher" resolves each language
+    * to its own qualifier; a trailing qualifier covers every language listed
+    * before it, as in "Deutsch und Englisch verhandlungssicher"). Mentions
+    * with no following qualifier emit nothing. One posexplode per span + the
+    * R4 broadcast join (language surfaces are single-token — the p-kind
+    * gazetteer's prep fact) + a min_by hash-agg over (mention, qualifier)
+    * position pairs.
     * Output: (doc_id, entity_id, qualifier, offset).
     */
   def languageProficiency(spans: DataFrame, languagesGaz: DataFrame): DataFrame = {
-    val qual = regexp_extract(col("text"),
-      "(verhandlungssicher|fliessend|Grundkenntnisse|Muttersprache)", 1)
-    val tokens = split(col("text"), " ")
-    def upperStart(c: Column): Column = {
-      val h = substring(c, 1, 1)
-      (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
-    }
-    spans
-      .where(col("kind") === "p")
-      .withColumn("qualifier", qual)
-      .where(col("qualifier") =!= "")
-      .select(col("doc_id"), col("offset"), col("qualifier"),
-        explode(filter(tokens, t => upperStart(t))).as("gram"))
-      .join(broadcast(languagesGaz), col("gram") === col("surface"))
+    val toks = spans
+      .where(col("kind") === "p" && col("text").rlike(ProficiencyRe))
+      .select(col("doc_id"), col("offset"),
+        posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
+    val mentions = toks
+      .where(GazetteerIO.upperStart(col("tok")))
+      .join(broadcast(languagesGaz), col("tok") === col("surface"))
+      .select(col("doc_id"), col("offset"), col("tpos"), col("entity_id"))
+    val quals = toks
+      .where(col("tok").rlike(s"^(?:$ProficiencyRe)$$"))
+      .select(col("doc_id").as("q_doc"), col("offset").as("q_off"),
+        col("tpos").as("qpos"), col("tok").as("qualifier"))
+    mentions
+      .join(quals,
+        col("doc_id") === col("q_doc") && col("offset") === col("q_off") &&
+          col("qpos") >= col("tpos"))
+      .groupBy(col("doc_id"), col("offset"), col("tpos"), col("entity_id"))
+      .agg(min_by(col("qualifier"), col("qpos")).as("qualifier"))
       .select(col("doc_id"), col("entity_id"), col("qualifier"), col("offset"))
   }
 }

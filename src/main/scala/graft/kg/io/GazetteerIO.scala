@@ -56,6 +56,16 @@ object GazetteerIO {
   def hasMultiTokenSurface(gaz: DataFrame): Boolean =
     gaz.select(max(size(split(col("surface"), " ")))).head().getInt(0) > 1
 
+  /** The gram pre-filter implied by [[validated]]'s contract: a token can
+    * only match a gazetteer surface if its first char is [A-Z0-9]. ONE
+    * definition next to the contract it encodes — extraction operators must
+    * use this, not private copies that could drift.
+    */
+  def upperStart(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = substring(c, 1, 1)
+    (h >= "A" && h <= "Z") || (h >= "0" && h <= "9")
+  }
+
   private val written = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Harness helper: the in-code skills dictionary written once per JVM as a

@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
 object SyntheticCorpus {
   import Dictionaries._
 
+  /** Bump whenever the derivation below (or Dictionaries content it draws
+    * from) changes — ScalingBench keys its shared on-disk prep cache on this,
+    * so a stale table from an older code version can never be silently
+    * reused.
+    */
+  val DerivationVersion = 2
+
   private val SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string>"
 
   private def textSpan(kind: Column, text: Column): Column =

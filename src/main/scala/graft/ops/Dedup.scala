@@ -319,12 +319,13 @@ object Dedup {
     * components over the pair graph (the same iterative large-star/small-star
     * engine as surface canonicalization, R13) assign every doc its cluster's
     * minimum doc_id as keep_id; docs in no pair keep themselves. Ids are
-    * zero-padded for the string-ordered CC so lexicographic min == numeric
-    * min (mirrored by the recursive-CTE oracle).
+    * zero-padded to the FULL non-negative-long width (19 digits) for the
+    * string-ordered CC so lexicographic min == numeric min over the whole id
+    * domain (mirrored by the recursive-CTE oracle).
     * Output: (doc_id, keep_id, is_dup).
     */
   def dupClusters(corpus: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame = {
-    val pad = (c: Column) => format_string("%09d", c)
+    val pad = (c: Column) => format_string("%019d", c)
     val edges = minhashLsh(corpus, numer, denom)
       .select(pad(col("a")).as("src"), pad(col("b")).as("dst"))
     val comps = graft.kg.canon.ConnectedComponents.run(edges)

@@ -111,6 +111,13 @@ class GoldenFixturesSpec extends SparkTestBase {
         Set("LANG02=fliessend"),
       doc("fx-prof-native", ("p", "Deutsch Muttersprache"), ("p", "Englisch")) ->
         Set("LANG00=Muttersprache"), // unqualified Englisch span: no triple
+      // each language resolves to ITS OWN (nearest-following) qualifier
+      doc("fx-prof-mixed",
+        ("p", "Englisch Grundkenntnisse und Deutsch verhandlungssicher")) ->
+        Set("LANG01=Grundkenntnisse", "LANG00=verhandlungssicher"),
+      // a trailing qualifier covers every language listed before it
+      doc("fx-prof-shared", ("p", "Deutsch und Englisch verhandlungssicher")) ->
+        Set("LANG00=verhandlungssicher", "LANG01=verhandlungssicher"),
       doc("fx-prof-none", ("p", "Deutsch und Englisch")) -> Set.empty[String])
     val postings = spark.createDataset(docs.map(_._1)).toDF()
     val got = Pipeline.languageProficiencyTriples(
