@@ -153,6 +153,41 @@ class GoldenFixturesSpec extends SparkTestBase {
       s"missing=${(multi -- single).take(5)} spurious=${(single -- multi).take(5)}")
   }
 
+  test("single-pass == multi-pass on adversarial GENERATED corpora") {
+    val s = spark
+    import s.implicits._
+    // seeded random docs that hit every extractor branch in arbitrary
+    // combinations: typos, gender suffixes, multi-token surfaces, PLZ,
+    // workload forms, hot keys, unicode, empties, media interleaving
+    val texts = Seq(
+      "", "a", "Sofware Engineer", "Software Engineer (m/w)", "Projektleiter/-in",
+      "Erfahrung mit Power BI", "SAP HANA und Java", "Java", "9000 St. Gallen",
+      "8005", "Pensum 80 - 100%", "Teilzeit 60%", "Vollzeit 100% Workload",
+      "Acme AG", "Finova GmbH", "Deutsch und Englisch verhandlungssicher",
+      "Franzoesisch fliessend", "unicode √ü√§√∂ 中文 🚀 Java", "the fast java key",
+      "Machine Lerning Engineer", "Kappa Informatik AG")
+    val rnd = new scala.util.Random(4242)
+    val docs = (0 until 150).map { i =>
+      val spans = (0 until rnd.nextInt(12)).map { j =>
+        if (rnd.nextInt(4) == 0) graft.kg.schema.Span("media", "", s"img://$i/$j", j)
+        else graft.kg.schema.Span(Seq("h1", "p", "li", "footer")(rnd.nextInt(4)),
+          texts(rnd.nextInt(texts.length)), "", j)
+      }
+      graft.kg.schema.PostingDoc(s"adv-$i", spans)
+    }
+    val postings = spark.createDataset(docs).toDF()
+    val gaz = Pipeline.defaultGazetteers(spark)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj", "score", "src_offset").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4)))
+        .toSet
+    val single = norm(Pipeline.allTriples(postings, gaz))
+    val multi = norm(Pipeline.allTriplesMultiPass(postings, gaz))
+    assert(single == multi,
+      s"missing=${(multi -- single).take(5)} spurious=${(single -- multi).take(5)}")
+    assert(single.nonEmpty)
+  }
+
   test("media-only and empty docs survive with spans untouched") {
     val s = spark
     import s.implicits._
