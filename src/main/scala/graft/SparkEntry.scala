@@ -126,7 +126,10 @@ object SparkEntry {
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
     // -- multimodal: (stub) decode -> feature-extract/resize chain -----------
     "kg_media_features" -> ((s, dir) =>
-      Media.features(SyntheticCorpus.materializedPostings(s, dir))))
+      Media.features(SyntheticCorpus.materializedPostings(s, dir))),
+    // -- multimodal: (stub) video frame sampling (explode fan-out) -----------
+    "kg_media_frames" -> ((s, dir) =>
+      Media.frameSample(SyntheticCorpus.materializedPostings(s, dir))))
 
   // ---- analytic DuckDB oracles --------------------------------------------
 
@@ -333,5 +336,15 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        unnest(generate_series(0, ((len(string_split(text, ' ')) + 7) // 8) - 1)) AS i
          |      FROM documents)
-         |WHERE (doc_id + i) % 3 = 0""".stripMargin)
+         |WHERE (doc_id + i) % 3 = 0""".stripMargin,
+    "kg_media_frames" ->
+      s"""SELECT CAST(doc_id AS VARCHAR) AS subj,
+         | printf('img://%d/%d', doc_id, i) AS media_ref,
+         | CAST(f AS BIGINT) AS frame_idx,
+         | printf('img://%d/%d#f%d', doc_id, i, f) AS frame_ref
+         |FROM (SELECT doc_id, i, unnest(generate_series(0, 10 + (doc_id + i) % 20 - 1, 5)) AS f
+         |      FROM (SELECT doc_id,
+         |              unnest(generate_series(0, ((len(string_split(text, ' ')) + 7) // 8) - 1)) AS i
+         |            FROM documents)
+         |      WHERE (doc_id + i) % 3 = 0)""".stripMargin)
 }

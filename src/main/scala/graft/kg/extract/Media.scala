@@ -63,4 +63,25 @@ object Media {
         lit(thumbWidth.toLong).as("thumb_w"),
         expr(s"div($thumbWidth * h0, w0)").as("thumb_h"))
   }
+
+  /** Fake video frame sampling (same stub boundary): treat each media span as
+    * a clip whose (deterministic stand-in) frame count is 10 + (d+i) % 20 and
+    * emit every `stride`-th frame as its own row — the explode-shaped fan-out
+    * a real frame sampler produces, with frame refs a downstream decode/
+    * feature stage consumes. At cluster scale the frame count comes from the
+    * container header and the per-frame payloads from the codec; the fan-out,
+    * schema, and partition-parallel shape stay exactly this.
+    * Output: (subj, media_ref, frame_idx, frame_ref).
+    */
+  def frameSample(postings: DataFrame, stride: Int = 5): DataFrame = {
+    val m = Extractors.mediaSpans(postings)
+    val d = regexp_extract(col("media_ref"), RefRe, 1).cast("long")
+    val i = regexp_extract(col("media_ref"), RefRe, 2).cast("long")
+    m.select(col("doc_id").as("subj"), col("media_ref"),
+        (lit(10L) + (d + i) % 20L).as("n_frames"))
+      .select(col("subj"), col("media_ref"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col("subj"), col("media_ref"), col("frame_idx"),
+        concat(col("media_ref"), lit("#f"), col("frame_idx")).as("frame_ref"))
+  }
 }
