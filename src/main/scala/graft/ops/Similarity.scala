@@ -14,13 +14,19 @@ import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
   *    against a broadcast query vector, global top-k. At 10^12 rows this is a
   *    full scan: correct but the slow path; it is also the verify oracle for
   *    the ANN plan.
-  *  - [[ivfTopK]] — IVF: vectors are pre-assigned to coarse centroids (here:
-  *    deterministic seed vectors; k-means at scale) by [[ivfAssign]], the
+  *  - [[ivfTopK]] — IVF: vectors are pre-assigned to coarse centroids (seed
+  *    vectors, or k-means-trained via [[KMeans]]) by [[ivfAssign]], the
   *    assignment is MATERIALIZED as a cell-partitioned table ([[materializedIndex]]
   *    — built once, reused by every query), and a query probes only its
   *    nProbe nearest cells, so the scan is partition-pruned to
   *    ~nProbe/nCells of the data. Recall measured in OpsSpec; exactness of
   *    the mechanics checked by the sim_ivf_topk DuckDB oracle.
+  *
+  * Query-vector discipline: a query is identified by `queryVecId` for the
+  * harness API, but the id is resolved to its vector with EXACTLY ONE point
+  * lookup per query ([[queryVector]]); every internal stage takes the vector,
+  * never the id — at 10^12 rows a repeated `where(vec_id = q)` lookup would
+  * be a second full scan (IvfJobCountSpec pins the job count).
   */
 object Similarity {
 
@@ -31,18 +37,34 @@ object Similarity {
     embeddings.select(col("vec_id").cast("long").as("vec_id"), embCol.as("emb"))
       .withColumn("norm", l2Norm(col("emb")))
 
+  /** The one point lookup that resolves a query id to its (vector, norm).
+    * On a real deployment the embeddings table is bucketed/partition-pruned by
+    * vec_id so this is a metadata-scale read; either way it runs ONCE per
+    * query — every downstream stage receives the vector.
+    */
+  def queryVector(embeddings: DataFrame, queryVecId: Long): (Seq[Double], Double) = {
+    val q = prepared(embeddings).where(col("vec_id") === queryVecId)
+      .select(col("emb"), col("norm")).head()
+    (q.getSeq[Double](0), q.getDouble(1))
+  }
+
   /** Exact cosine top-k against the embedding of `queryVecId`.
     * Output: (vec_id, rank), rank 1..k, query itself excluded.
     */
   def bruteForceTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val (qv, qn) = queryVector(embeddings, queryVecId)
+    bruteForceTopKVec(embeddings, qv, qn, excludeId = Some(queryVecId), k = k)
+  }
+
+  /** [[bruteForceTopK]] for callers that already hold the query vector (no
+    * id lookup — the scale API shape).
+    */
+  def bruteForceTopKVec(embeddings: DataFrame, qv: Seq[Double], qn: Double,
+      excludeId: Option[Long] = None, k: Int = 10): DataFrame = {
     val p = prepared(embeddings)
-    val q = p.where(col("vec_id") === queryVecId)
-      .select(col("emb"), col("norm")).head()
-    val qv = q.getSeq[Double](0)
-    val qn = q.getDouble(1)
+    val base = excludeId.map(id => p.where(col("vec_id") =!= id)).getOrElse(p)
     rankTopK(
-      p.where(col("vec_id") =!= queryVecId)
-        .withColumn("qv", typedLit(qv))
+      base.withColumn("qv", typedLit(qv))
         .withColumn("cos", dotProduct(col("emb"), col("qv")) / (col("norm") * lit(qn))), k)
   }
 
@@ -60,41 +82,44 @@ object Similarity {
   }
 
   /** Batched exact top-k: one scan scores ALL query vectors at once (queries
-    * broadcast; N×Q scored rows), then a ranking window PARTITIONED by query
-    * keeps k per query — partitioned windows shuffle by query id, never a
-    * one-task global sort. This is the multi-query shape (dedup candidate
-    * lookup, eval sweeps); at large Q the per-query probe path over the IVF
-    * index ([[ivfTopK]]) replaces the exact scan.
+    * broadcast; N×Q scored rows), then a TWO-LEVEL ranking keeps k per query:
+    * a first window partitioned by (query_id, salt) — salt =
+    * pmod(xxhash64(vec_id), salts), so no task ever sorts more than
+    * ~N/salts rows — keeps k per (query, salt), and the final window ranks
+    * the surviving salts·k rows per query. A single per-query window would
+    * put ALL N scored rows of one query in one task at scale; the global
+    * top-k is fully contained in the union of per-salt top-ks, so the
+    * two-level plan is result-identical (same DuckDB oracle).
     * Output: (query_id, vec_id, rank), rank 1..k per query.
     */
   def batchTopK(embeddings: DataFrame, queryIds: Seq[Long] = 0L until 5L,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, salts: Int = 16): DataFrame = {
     val p = prepared(embeddings)
     val q = p.where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ord = Seq(col("cos").desc, col("vec_id").asc)
+    val wSalted = Window.partitionBy(col("query_id"), col("salt")).orderBy(ord: _*)
+    val wFinal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
     p.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         dotProduct(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(salts)).cast("int"))
+      .withColumn("prerank", row_number().over(wSalted))
+      .where(col("prerank") <= k)
+      .withColumn("rank", row_number().over(wFinal))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** The IVF index relation: every vector assigned to its nearest of nCells
-    * coarse cells (cells = the embeddings of vec_id < nCells — deterministic
-    * stand-in for trained centroids). One broadcast of the cells + a single
-    * max_by hash-agg: top-1-per-key is an aggregation, not a sort — no
-    * ranking window (same R11 rationale as the pipeline argmax), and the
-    * assignment sub-plan exists exactly once.
+  /** The IVF index relation: every vector assigned to its nearest of the
+    * given cells. One broadcast of the cells + a single max_by hash-agg:
+    * top-1-per-key is an aggregation, not a sort — no ranking window (same
+    * R11 rationale as the pipeline argmax), and the assignment sub-plan
+    * exists exactly once.
     * Output: (vec_id, emb, norm, cell_id).
     */
-  def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+  def ivfAssignTo(embeddings: DataFrame, cells: DataFrame): DataFrame = {
     val p = prepared(embeddings)
-    val cells = p.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"),
-        col("norm").as("cell_norm"))
     p.crossJoin(broadcast(cells)) // intentional: n x nCells scoring fan-out
       .withColumn("cell_cos",
         dotProduct(col("emb"), col("cell_emb")) / (col("norm") * col("cell_norm")))
@@ -106,6 +131,18 @@ object Similarity {
       .select(col("vec_id"), col("best.emb").as("emb"), col("best.norm").as("norm"),
         col("best.cell_id").cast("int").as("cell_id"))
   }
+
+  /** Deterministic seed cells: the embeddings of vec_id < nCells — the
+    * k-means-free baseline ([[graft.ops.KMeans]] is the trained path).
+    * Output: (cell_id, cell_emb, cell_norm).
+    */
+  def seedCells(embeddings: DataFrame, nCells: Int = 16): DataFrame =
+    prepared(embeddings).where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"),
+        col("norm").as("cell_norm"))
+
+  def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame =
+    ivfAssignTo(embeddings, seedCells(embeddings, nCells))
 
   /** Fixed index schema (never inferred — SURVEY.md §1.2; also means the
     * probe read never touches a data-file footer outside the probed
@@ -120,57 +157,76 @@ object Similarity {
       StructField("cell_id", IntegerType, nullable = false)))
   }
 
+  /** Bump when the index layout or assignment mechanics change: a cached dir
+    * built by older code must never be silently reused.
+    */
+  val IndexVersion: Int = 2
+
   private val materializedIdx = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Build-once IVF index: [[ivfAssign]] written as parquet PARTITIONED BY
-    * cell_id (per JVM, keyed by `tag`). At cluster scale this is a real
-    * materialized index table (TableIO/Iceberg layout); queries never rebuild
-    * the assignment, and the probe scan partition-prunes to the probed cells.
+    * cell_id (per JVM, keyed by `tag` + [[IndexVersion]]). At cluster scale
+    * this is a real materialized index table (TableIO/Iceberg layout);
+    * queries never rebuild the assignment, and the probe scan
+    * partition-prunes to the probed cells. The cached entry is REVALIDATED on
+    * every lookup (`_SUCCESS` must still exist — long-lived JVMs outlive tmp
+    * cleaners) and rebuilt if stale.
     */
   def materializedIndex(spark: SparkSession, embeddings: DataFrame, tag: String,
-      nCells: Int = 16): String =
-    materializedIdx.getOrElseUpdate(s"$tag/$nCells", {
+      nCells: Int = 16): String = {
+    def valid(dir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    def build(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
       ivfAssign(embeddings, nCells).write.mode("overwrite")
         .partitionBy("cell_id").parquet(dir)
       dir
-    })
+    }
+    val key = s"$tag/$nCells/v$IndexVersion"
+    val cached = materializedIdx.getOrElseUpdate(key, build())
+    if (valid(cached)) cached
+    else {
+      val fresh = build()
+      materializedIdx.put(key, fresh)
+      fresh
+    }
+  }
 
-  /** IVF ANN top-k over a materialized index: the query vector is a point
-    * lookup in the source table; cell probing scores nCells rows (metadata
-    * scale) and collects nProbe cell ids, so the index scan carries a STATIC
-    * `cell_id IN (...)` partition filter — at 10^12 rows only
-    * nProbe/nCells of the index is read (pruning asserted by PlanShapeSpec).
-    * Output: (vec_id, rank), rank 1..k.
-    */
-  /** The nProbe cell ids nearest the query vector (cos desc, cell_id asc) —
+  /** The nProbe cell ids nearest the query VECTOR (cos desc, cell_id asc) —
     * an nCells-row job, metadata-scale; public so tests can assert which
-    * partitions a query is ALLOWED to touch.
+    * partitions a query is ALLOWED to touch. `cells` is any
+    * (cell_id, cell_emb, cell_norm) relation ([[seedCells]] or trained
+    * centroids).
     */
-  def probeCells(embeddings: DataFrame, queryVecId: Long = 0L,
-      nCells: Int = 16, nProbe: Int = 4): Seq[Long] = {
-    val p = prepared(embeddings)
-    val q = p.where(col("vec_id") === queryVecId)
-      .select(col("emb"), col("norm")).head()
-    val qv = q.getSeq[Double](0)
-    val qn = q.getDouble(1)
-    p.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("emb").as("cell_emb"),
-        col("norm").as("cell_norm"))
+  def probeCellsVec(cells: DataFrame, qv: Seq[Double], qn: Double,
+      nProbe: Int = 4): Seq[Long] =
+    cells
       .withColumn("qv", typedLit(qv))
       .withColumn("cos", dotProduct(col("cell_emb"), col("qv")) / (col("cell_norm") * lit(qn)))
       .orderBy(col("cos").desc, col("cell_id").asc).limit(nProbe)
-      .select(col("cell_id")).collect().toSeq.map(_.getLong(0))
+      .select(col("cell_id").cast("long")).collect().toSeq.map(_.getLong(0))
+
+  /** Id-keyed convenience used by tests (ONE lookup + one probe job). */
+  def probeCells(embeddings: DataFrame, queryVecId: Long = 0L,
+      nCells: Int = 16, nProbe: Int = 4): Seq[Long] = {
+    val (qv, qn) = queryVector(embeddings, queryVecId)
+    probeCellsVec(seedCells(embeddings, nCells), qv, qn, nProbe)
   }
 
+  /** IVF ANN top-k over a materialized index: ONE point lookup resolves the
+    * query id to its vector ([[queryVector]]); cell probing scores nCells
+    * rows (metadata scale) and collects nProbe cell ids, so the index scan
+    * carries a STATIC `cell_id IN (...)` partition filter — at 10^12 rows
+    * only nProbe/nCells of the index is read (pruning asserted by
+    * PlanShapeSpec; behaviorally proven by OpsSpec's corrupted-cell test).
+    * Output: (vec_id, rank), rank 1..k.
+    */
   def ivfTopK(spark: SparkSession, indexDir: String, embeddings: DataFrame,
-      queryVecId: Long = 0L, k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val p = prepared(embeddings)
-    val q = p.where(col("vec_id") === queryVecId)
-      .select(col("emb"), col("norm")).head()
-    val qv = q.getSeq[Double](0)
-    val qn = q.getDouble(1)
-    val probeIds = probeCells(embeddings, queryVecId, nCells, nProbe)
+      queryVecId: Long = 0L, k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      cells: Option[DataFrame] = None): DataFrame = {
+    val (qv, qn) = queryVector(embeddings, queryVecId)
+    val probeIds = probeCellsVec(cells.getOrElse(seedCells(embeddings, nCells)),
+      qv, qn, nProbe)
     // int literals to match the partition column's type exactly — a cast
     // around cell_id would defeat static partition pruning
     val idx = spark.read.schema(indexSchema).parquet(indexDir)

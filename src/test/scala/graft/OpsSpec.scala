@@ -150,6 +150,45 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (d, k, dup) => (dup == 1L) == (k != d) })
   }
 
+  test("ivfTopK construction runs exactly 2 driver jobs: 1 vector lookup + 1 probe") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.materializedIndex(spark, e, tag = sf)
+    val group = s"ivf-jobcount-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "count ivfTopK construction jobs")
+    try Similarity.ivfTopK(spark, idx, e) // plan construction only — no action
+    finally spark.sparkContext.clearJobGroup()
+    // the status store is fed asynchronously: poll until the count is stable
+    def jobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.nanoTime() + 5000000000L
+    var last = jobs()
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() < deadline && System.nanoTime() - stableSince < 500000000L) {
+      Thread.sleep(20)
+      val now = jobs()
+      if (now != last) { last = now; stableSince = System.nanoTime() }
+    }
+    assert(last == 2, s"expected 2 construction jobs (lookup + probe), saw $last")
+  }
+
+  test("two-level batch top-k == single-window reference ranking") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Similarity.batchTopK(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: brute-force per-query ranking computed driver-side
+    val p = Similarity.prepared(e)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val byId = p.map(r => r._1 -> r).toMap
+    val want = (0L until 5L).flatMap { q =>
+      val (_, qv, qn) = byId(q)
+      p.filter(_._1 != q)
+        .map { case (id, v, n) =>
+          (id, v.zip(qv).map { case (a, b) => a * b }.sum / (n * qn)) }
+        .sortBy { case (id, cos) => (-cos, id) }
+        .take(5).zipWithIndex.map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("exact dedup flags exactly the planted copies") {
     val d = Dedup.exact(corpus)
     val dups = d.where(col("is_dup") === 1)

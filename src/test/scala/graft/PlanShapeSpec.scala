@@ -73,6 +73,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"fused plan has $fused shuffles, two-step has $twoStep — expected exactly one saved")
   }
 
+  test("batch top-k plans as two windows: per-(query,salt) pre-top-k then final") {
+    val p = plan("sim_batch_topk")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2, s"expected the two-level ranking (2 Window nodes), plan:\n$p")
+    assert(p.contains("salt"), "first window must partition by (query_id, salt)")
+  }
+
   test("salted skill join takes the shuffle (non-broadcast) path") {
     val p = plan("kg_skills_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
