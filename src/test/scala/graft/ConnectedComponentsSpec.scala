@@ -50,4 +50,25 @@ class ConnectedComponentsSpec extends SparkTestBase {
   test("self-loops and duplicate edges are harmless") {
     check(10, Seq((1, 1), (1, 2), (2, 1), (1, 2), (4, 5)), "dup/self edges")
   }
+
+  test("long-typed node ids: same components as the padded-string encoding") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // ids spanning the long domain, incl. values whose raw-string ordering
+    // would DISAGREE with numeric ordering (9 < 10 numerically, "10" < "9")
+    val ids = (Seq(3L, 9L, 10L, 1000000L, 2000000007L, Long.MaxValue - 1) ++
+      (0 until 40).map(_ => math.abs(rnd.nextLong()))).distinct
+    val edges = (0 until 60).map(_ => (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+      .filter(e => e._1 != e._2)
+    val asLong = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pad = (x: Long) => f"$x%019d"
+    val asString = ConnectedComponents.run(
+      edges.map { case (a, b) => (pad(a), pad(b)) }.toDF("src", "dst"))
+      .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+    assert(asLong == asString)
+    // component label is the numeric minimum member
+    asLong.groupBy(_._2).foreach { case (comp, ms) => assert(ms.keys.min == comp) }
+  }
 }

@@ -150,6 +150,56 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (d, k, dup) => (dup == 1L) == (k != d) })
   }
 
+  test("hot-bucket guard: a 1000-copy cluster adds dedup edges linearly, never C(k,2)") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .where(col("doc_id") < 50)
+    val copyText = base.where(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+    def withCopies(k: Int) = base.unionByName(
+      spark.range(k).select((col("id") + 10000L).as("doc_id"), lit(copyText).as("text")))
+    val e250 = Dedup.dupEdges(withCopies(250)).count()
+    val e1000 = Dedup.dupEdges(withCopies(1000)).count()
+    // exactly one star edge per extra copy — the candidate join never sees
+    // the cluster's members, only its single representative
+    assert(e1000 - e250 === 750L,
+      s"cluster edges must grow linearly: 250 copies -> $e250 edges, 1000 -> $e1000")
+    // rep-level candidate pairs are INDEPENDENT of the copy count
+    assert(e250 - 250 === e1000 - 1000)
+    // and the decision is right: every copy's survivor is doc 0
+    val keep = Dedup.dupClusters(withCopies(1000)).where(col("doc_id") >= 10000L)
+      .select("keep_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(keep === Seq(0L))
+  }
+
+  test("bucket cap: binding cap drops cross-text candidates, keeps exact-copy pairs") {
+    val s = spark
+    import s.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = t1 + " iota" // J(t1,t2) = 6/7 — a strong near-dup of t1
+    val c = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+    assert(pairs(Dedup.minhashLsh(c)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // maxBucket = 1 drops every shared bucket: cross-text candidates vanish
+    // (recall-only, by design), exact-copy pairs survive via the collapse
+    assert(pairs(Dedup.minhashLsh(c, maxBucket = 1)) === Set((1L, 3L)))
+  }
+
+  test("simhash multi-index: 20 tables of 30-bit keys (pigeonhole-exact geometry)") {
+    val (reps, _) = Dedup.exactCollapse(corpus)
+    val sigs = Dedup.simhashSignatures(reps.select(col("rep_id").as("doc_id"), col("text")))
+    // reproduce the band explode bound: every key must fit in 30 bits
+    val maxKey = (1L << 30) - 1
+    val subsets = (0 until 6).combinations(3).toSeq
+    assert(subsets.size === 20)
+    val bad = sigs.select(col("sig")).collect().map(_.getLong(0)).flatMap { sig =>
+      subsets.map { blks =>
+        blks.zipWithIndex.map { case (blk, j) => ((sig >>> (10 * blk)) & 0x3FFL) << (10 * j) }
+          .reduce(_ | _)
+      }
+    }.filter(k => k < 0 || k > maxKey)
+    assert(bad.isEmpty)
+  }
+
   test("ivfTopK construction runs exactly 2 driver jobs: 1 vector lookup + 1 probe") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.materializedIndex(spark, e, tag = sf)

@@ -73,6 +73,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"fused plan has $fused shuffles, two-step has $twoStep — expected exactly one saved")
   }
 
+  test("dedup shared subtrees are computed once: ReusedExchange in the LSH plan") {
+    // the shingle relation feeds the signature agg, both verify sides, and
+    // the size agg; without persist (removed — cache hygiene) the shared
+    // exchanges must be REUSED at runtime, not recomputed. AQE materializes
+    // reuse in the FINAL plan, so execute first.
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(_.contains("isFinalPlan=true")))
+    assert(p.contains("ReusedExchange"),
+      s"expected ReusedExchange nodes for the shared shingle subtree:\n${p.take(4000)}")
+  }
+
   test("batch top-k plans as two windows: per-(query,salt) pre-top-k then final") {
     val p = plan("sim_batch_topk")
     val windows = p.linesIterator.count(_.contains("Window ["))
