@@ -256,15 +256,25 @@ object OpsEntries {
          |            t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns,
          |        CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS sl
          |      FROM documents)""".stripMargin,
+    // full-mechanics langId oracle: the marker dictionary is embedded
+    // VERBATIM from TextOps.langMarkers (single source), the scoring is the
+    // same occurrence count + (score desc, lang asc) argmax
     "text_langid" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang,
-        | CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
-        |FROM (SELECT doc_id, lang,
-        |        CASE WHEN list_contains(string_split(text, ' '), 'the')
-        |               OR list_contains(string_split(text, ' '), 'a') THEN 'en'
-        |             WHEN list_contains(string_split(text, ' '), 'und') THEN 'de'
-        |             ELSE 'unknown' END AS pred_lang
-        |      FROM documents)""".stripMargin,
+      s"""WITH markers(token, mlang) AS (VALUES
+         |  ${TextOps.langMarkers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")}),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |best AS (
+         |  SELECT doc_id, mlang, score FROM (
+         |    SELECT doc_id, mlang, count(*) AS score
+         |    FROM tok JOIN markers USING (token) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, mlang ASC) = 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  coalesce(b.mlang, 'unknown') AS pred_lang,
+         |  CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(b.mlang, 'unknown') = d.lang
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5,
         | CAST(list_sum(list_transform(string_split(text, ' '),

@@ -81,16 +81,24 @@ object ScalingBench {
       val dir = s"/tmp/graft-postings-$tag-x$repl-v${SyntheticCorpus.DerivationVersion}"
       val target = java.nio.file.Paths.get(dir)
       if (!Files.exists(target.resolve("_SUCCESS"))) {
-        // write to a private dir, publish with an atomic rename: a concurrent
+        // write to a private dir IN THE TARGET'S PARENT (same filesystem —
+        // staging in java.io.tmpdir would make ATOMIC_MOVE throw when TMPDIR
+        // points elsewhere), publish with an atomic rename: a concurrent
         // bench either wins the rename or reads the winner's table — never a
         // half-written directory
-        val tmp = Files.createTempDirectory("graft-postings-build")
+        val tmp = Files.createTempDirectory(target.getParent, "graft-postings-build")
         val docs = replicatedDocs(spark, sfDir, repl, 64)
         SyntheticCorpus.fromDocuments(docs).write.mode("overwrite").parquet(tmp.toString)
         try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.FileSystemException =>
-          graft.kg.emit.TableIO.deleteTree(tmp.toString) // lost the race
+        catch {
+          // ONLY the lost-the-race shapes are swallowed; any other move
+          // failure (permissions, cross-device, IO) must surface, else the
+          // subsequent read of a nonexistent target fails confusingly
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException
+              if Files.exists(target.resolve("_SUCCESS")) ||
+                 Files.exists(target) =>
+            graft.kg.emit.TableIO.deleteTree(tmp.toString)
         }
       }
       dir

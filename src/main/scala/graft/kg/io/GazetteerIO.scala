@@ -31,10 +31,15 @@ object GazetteerIO {
     spark.read.schema(schema).parquet(path)
 
   /** Gazetteer from tab-separated text (the reference's resource-file form):
-    * `entity_id \t surface \t canonical`, no header.
+    * `entity_id \t surface \t canonical`, no header. Quote and escape
+    * handling are DISABLED: fields are taken verbatim between tabs, so a
+    * real user dictionary whose surface contains (or starts with) a double
+    * quote survives the load unmangled.
     */
   def fromText(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(schema).option("sep", "\t").csv(path)
+    spark.read.schema(schema).option("sep", "\t")
+      .option("quote", "").option("escape", "")
+      .csv(path)
 
   /** Prep-pass validation (one tiny driver-side action per loaded gazetteer,
     * never inside plan construction): every surface non-empty and starting

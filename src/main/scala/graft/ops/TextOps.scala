@@ -42,19 +42,47 @@ object TextOps {
         * least(nTok, lit(64L)) / 64.0).cast("long").as("quality_e4"))
   }
 
-  /** Language-ID by marker-token heuristic (deterministic; the harness corpus
-    * is synthetic filler text, so the value here is the distributed
-    * machinery + exact oracle, not linguistic accuracy).
+  /** Marker dictionary for [[langId]]: (token, lang). Shared VERBATIM with
+    * the DuckDB oracle (OpsEntries embeds it as a VALUES list) — change both
+    * together. A real deployment swaps in a trained n-gram profile table
+    * through the same broadcast-join machinery; the harness corpus is
+    * synthetic filler (only 'the'/'a' occur), so prediction accuracy is not
+    * the point here — the distributed shape and the exact oracle are.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "is" -> "en",
+    "und" -> "de", "der" -> "de", "die" -> "de", "das" -> "de", "mit" -> "de",
+    "le" -> "fr", "la" -> "fr", "et" -> "fr", "les" -> "fr", "est" -> "fr",
+    "el" -> "es", "los" -> "es", "las" -> "es", "es" -> "es", "por" -> "es")
+
+  /** Language-ID by broadcast marker-dictionary scoring: token occurrences
+    * join the broadcast markers table, per-(doc, lang) occurrence counts,
+    * then a min_by argmax (score desc, lang asc tie-break — an aggregation,
+    * not a ranking window; same R11 rationale as the pipeline argmax). Docs
+    * hitting no marker predict 'unknown'. Scan → broadcast join → two
+    * hash-aggs: the shape that holds when both the corpus and the dictionary
+    * grow (a per-language exists() column would re-plan per dictionary
+    * change and stop scaling past a handful of languages).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val pred = when(exists(toks, _ === "the") || exists(toks, _ === "a"), "en")
-      .when(exists(toks, _ === "und"), "de")
-      .otherwise("unknown")
-    docs.select(
-      col("doc_id").cast("long").as("doc_id"),
-      pred.as("pred_lang"),
-      when(pred === col("lang"), 1L).otherwise(0L).as("is_match"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val markers = langMarkers.toDF("token", "mlang")
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val best = toks.join(broadcast(markers), "token")
+      .groupBy(col("doc_id"), col("mlang")).agg(count(lit(1)).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("mlang"), col("score")),
+        struct((-col("score")).as("ns"), col("mlang"))).as("b"))
+      .select(col("doc_id"), col("b.mlang").as("pred_lang"), col("b.score").as("score"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        when(coalesce(col("pred_lang"), lit("unknown")) === col("lang"), 1L)
+          .otherwise(0L).as("is_match"))
   }
 
   /** Document fingerprinting: exact-dup key (md5) + a position-weighted

@@ -29,6 +29,19 @@ class GazetteerIOSpec extends SparkTestBase {
       Dictionaries.gazSkills.map(g => (g.entity_id, g.surface, g.canonical)).toSet)
   }
 
+  test("TSV fields are verbatim between tabs: quotes in surfaces survive") {
+    val dir = Files.createTempDirectory("graft-gaz-quotes")
+    val f = dir.resolve("quoted.tsv")
+    val entries = Seq(
+      ("Q1", "\"Scare\" Quotes", "\"Scare\" Quotes"),
+      ("Q2", "C \"Sharp\"", "C \"Sharp\""),
+      ("Q3", "Plain", "Plain"))
+    Files.write(f, entries.map { case (a, b, c) => s"$a\t$b\t$c" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val loaded = GazetteerIO.fromText(spark, f.toString)
+    assert(rows(loaded) == entries.toSet)
+  }
+
   test("validation rejects surfaces violating the gram pre-filter contract") {
     val s = spark
     import s.implicits._

@@ -239,6 +239,26 @@ class OpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("langId: marker-dictionary argmax on mixed-language docs, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "der Hund und die Katze mit dem Ball", "de"), // de: der,und,die,mit = 4
+      (2L, "the cat and the dog is a pet", "en"),        // en: the,and,the,is,a = 5
+      (3L, "le chat et la souris", "fr"),                // fr: le,et,la = 3
+      (4L, "xyzzy plugh", "en"),                         // no marker -> unknown
+      (5L, "the und", "de"))                             // tie en=1,de=1 -> 'de' (lang asc)
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.TextOps.langId(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "de", 4L, 1L),
+      (2L, "en", 5L, 1L),
+      (3L, "fr", 3L, 1L),
+      (4L, "unknown", 0L, 0L),
+      (5L, "de", 1L, 1L)))
+  }
+
   test("exact dedup flags exactly the planted copies") {
     val d = Dedup.exact(corpus)
     val dups = d.where(col("is_dup") === 1)
