@@ -51,6 +51,14 @@ object OpsEntries {
       val idx = Similarity.materializedIndex(s, emb(s, dir), tag = dir)
       Similarity.ivfTopK(s, idx, emb(s, dir))
     }),
+    // k-means-trained IVF: integer-quantized Lloyd (3 iterations, driver-held
+    // centroids), integer-Euclidean assignment + probe, double-cosine final
+    // scoring; the oracle replicates the ENTIRE training loop in SQL
+    "sim_ivf_kmeans_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (idx, cents) = Similarity.materializedKmeansIndex(s, e, tag = dir)
+      Similarity.ivfKmeansTopK(s, idx, cents, e)
+    }),
     // ---- relational coverage -----------------------------------------------
     "q_agg_filter" -> ((s, dir) => Relational.aggFilter(s, dir)),
     "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
@@ -238,6 +246,69 @@ object OpsEntries {
       |  WHERE a.cell_id IN (SELECT cell_id FROM probe) AND emb.vec_id != 0)
       |QUALIFY rank <= 10""".stripMargin
 
+  /** Full-mechanics oracle for sim_ivf_kmeans_topk: the ENTIRE integer
+    * k-means loop unrolled in SQL — quantization floor(x*1000), per-
+    * iteration integer-Euclidean argmin assignment (d2 asc, cell_id asc) and
+    * floor-division centroid means (emptied cells keep their previous
+    * centroid), then the 4-cell integer probe and the double-cosine top-10
+    * within probed cells. Integer sums are order-independent, so the SQL
+    * centroids are bit-identical to KMeans.train's.
+    */
+  private val ivfKmeansTopKSql: String = {
+    val iters = 3
+    // one Lloyd iteration: assign to c$i, update to c${i+1}
+    def iteration(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, qv, cell_id FROM (
+         |    SELECT q.vec_id, q.qv, c.cell_id,
+         |      list_sum(list_transform(generate_series(1, len(q.qv)),
+         |        j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS d2
+         |    FROM q, c${i - 1} c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, cell_id ASC) = 1),
+         |u$i AS (
+         |  SELECT cell_id, j,
+         |    CAST((s - (((s % c) + c) % c)) / c AS BIGINT) AS comp
+         |  FROM (SELECT cell_id, j, sum(qv[j]) AS s, count(*) AS c
+         |        FROM a$i, (SELECT unnest(generate_series(1, 64)) AS j) g
+         |        GROUP BY 1, 2)),
+         |c$i AS (
+         |  SELECT p.cell_id, coalesce(n.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN
+         |    (SELECT cell_id, list(comp ORDER BY j) AS cv FROM u$i GROUP BY 1) n
+         |  USING (cell_id))""".stripMargin
+    s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id,
+       |        list_transform(e, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+       |      FROM emb),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell_id, qv AS cv FROM q WHERE vec_id < 16),
+       |${(1 to iters).map(iteration).mkString(",\n")},
+       |af AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT q.vec_id, c.cell_id,
+       |      list_sum(list_transform(generate_series(1, len(q.qv)),
+       |        j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS d2
+       |    FROM q, c$iters c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2 ASC, cell_id ASC) = 1),
+       |qq AS (SELECT qv FROM q WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell_id FROM c$iters, qq
+       |  ORDER BY list_sum(list_transform(generate_series(1, len(qq.qv)),
+       |    j -> (qq.qv[j] - cv[j]) * (qq.qv[j] - cv[j]))) ASC, cell_id ASC
+       |  LIMIT 4),
+       |qe AS (SELECT e FROM emb WHERE vec_id = 0)
+       |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+       |FROM (
+       |  SELECT emb.vec_id,
+       |    list_dot_product(emb.e, qe.e) /
+       |      (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+       |  FROM emb JOIN af ON emb.vec_id = af.vec_id, qe
+       |  WHERE af.cell_id IN (SELECT cell_id FROM probe) AND emb.vec_id != 0)
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "text_tokens" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -308,6 +379,7 @@ object OpsEntries {
         |      FROM emb, q WHERE emb.vec_id != 0)
         |QUALIFY rank <= 10""".stripMargin,
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "sim_batch_topk" ->
       """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -192,6 +192,63 @@ object Similarity {
     }
   }
 
+  private val materializedKmIdx =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[(Int, Seq[Long])])]
+
+  /** Build-once k-means IVF index: centroids trained by [[KMeans.train]]
+    * (integer Lloyd, driver-held k·d state), every vector assigned to its
+    * nearest centroid by integer squared-Euclidean distance in ONE
+    * broadcast+min_by pass, written partitioned by cell_id. Returns
+    * (indexDir, centroids) — the centroids are the probe structure, so
+    * probing is a pure driver computation (zero Spark jobs). Same
+    * revalidation discipline as [[materializedIndex]].
+    */
+  def materializedKmeansIndex(spark: SparkSession, embeddings: DataFrame,
+      tag: String, nCells: Int = 16, iters: Int = 3): (String, Seq[(Int, Seq[Long])]) = {
+    def valid(dir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    def build(): (String, Seq[(Int, Seq[Long])]) = {
+      val cents = KMeans.train(embeddings, nCells, iters)
+      val rel = prepared(embeddings).withColumn("qv", KMeans.quantize("emb"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-km-index").toString
+      KMeans.assignTo(rel, cents, carry = Seq("emb", "norm"))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      (dir, cents)
+    }
+    val key = s"$tag/$nCells/$iters/km-v$IndexVersion"
+    val cached = materializedKmIdx.getOrElseUpdate(key, build())
+    if (valid(cached._1)) cached
+    else {
+      val fresh = build()
+      materializedKmIdx.put(key, fresh)
+      fresh
+    }
+  }
+
+  /** IVF ANN top-k over the k-means index: ONE point lookup resolves the
+    * query vector; the probe is a DRIVER-side integer distance sort over the
+    * k local centroids (no job at all — the probe structure is k·d longs);
+    * the index scan carries the static cell_id partition filter; final
+    * scoring is exact double cosine within the probed cells.
+    * Output: (vec_id, rank), rank 1..k.
+    */
+  def ivfKmeansTopK(spark: SparkSession, indexDir: String,
+      cents: Seq[(Int, Seq[Long])], embeddings: DataFrame,
+      queryVecId: Long = 0L, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val (qv, qn) = queryVector(embeddings, queryVecId)
+    val qq = KMeans.quantizeLocal(qv)
+    val probeIds = cents
+      .map { case (cid, cv) => (cid, KMeans.dist2Local(qq, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nProbe).map(_._1)
+    val idx = spark.read.schema(indexSchema).parquet(indexDir)
+      .where(col("cell_id").isin(probeIds.map(x => x: Any): _*))
+    rankTopK(
+      idx.where(col("vec_id") =!= queryVecId)
+        .withColumn("qv", typedLit(qv))
+        .withColumn("cos", dotProduct(col("emb"), col("qv")) / (col("norm") * lit(qn))), k)
+  }
+
   /** The nProbe cell ids nearest the query VECTOR (cos desc, cell_id asc) —
     * an nCells-row job, metadata-scale; public so tests can assert which
     * partitions a query is ALLOWED to touch. `cells` is any

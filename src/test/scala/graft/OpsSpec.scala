@@ -200,6 +200,52 @@ class OpsSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("k-means IVF recall@10 beats the seed-cell baseline (50 queries)") {
+    import graft.ops.KMeans
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = Similarity.prepared(e).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // assignments as the REGISTERED operators produce them
+    val seedAssign = Similarity.ivfAssign(e).select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (_, cents) = Similarity.materializedKmeansIndex(spark, e, tag = sf)
+    val q = Similarity.prepared(e).withColumn("qv", KMeans.quantize("emb"))
+    val kmAssign = KMeans.assignTo(q, cents, carry = Seq("norm"))
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seedCells = p.take(16).map { case (id, v, n) => (id.toInt, v, n) }
+    def recall(assign: Map[Long, Int], probed: Array[Double] => Set[Int]): Double = {
+      val hits = (0L until 50L).map { qid =>
+        val (_, qv, qn) = p(qid.toInt)
+        def cos(v: Array[Double], n: Double) =
+          v.zip(qv).map { case (a, b) => a * b }.sum / (n * qn)
+        val scored = p.filter(_._1 != qid).map { case (id, v, n) => (id, cos(v, n)) }
+        val truth = scored.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        val pr = probed(qv)
+        val got = scored.filter { case (id, _) => pr(assign(id)) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        (truth intersect got).size
+      }.sum
+      hits / 500.0
+    }
+    val seedRecall = recall(seedAssign, qv => {
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      seedCells.map { case (cid, v, n) =>
+        (cid, v.zip(qv).map { case (a, b) => a * b }.sum / (n * qn)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(4).map(_._1).toSet
+    })
+    val kmRecall = recall(kmAssign, qv => {
+      val qq = KMeans.quantizeLocal(qv.toSeq)
+      cents.map { case (cid, cv) => (cid, KMeans.dist2Local(qq, cv)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1).toSet
+    })
+    info(s"recall@10 over 50 queries: seed=$seedRecall kmeans=$kmRecall")
+    assert(kmRecall > seedRecall,
+      s"trained centroids must beat the seed baseline: km=$kmRecall seed=$seedRecall")
+    assert(kmRecall >= 0.6)
+  }
+
   test("ivfTopK construction runs exactly 2 driver jobs: 1 vector lookup + 1 probe") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.materializedIndex(spark, e, tag = sf)
