@@ -45,11 +45,45 @@ object ScalingBench {
       // shuffle is cheap.
       .repartition(partitions, col("doc_id"))
 
+  /** Web-mix dedup stress corpus: each source doc replicated `repl` ways —
+    * per replica r: r%10==0 exact copy (exercises the exact-collapse),
+    * r%10==1 near-dup (ONE token replaced → trigram J ≈ 0.9, exercises LSH
+    * candidate generation + verify), else unique (EVERY 3rd token replaced
+    * with a replica-tagged token — every trigram then contains a replaced
+    * position, so unique replicas share NO shingles with anything: J = 0).
+    * 10/10/80 dup mix, duplicate clusters of ~repl/5 docs — the shape
+    * [[graft.ops.Dedup.dupClusters]] must scale on. (An earlier variant
+    * replaced every 5th token, leaving same-base uniques at J ≈ 0.25 to each
+    * other — per-base near-threshold cliques whose pair count grows as
+    * repl², a quadratic the real web's unrelated unique docs don't have;
+    * it showed up as superlinear wall time and was a corpus artifact, not an
+    * operator cost.)
+    */
+  def dedupStressCorpus(spark: SparkSession, sfDir: String, repl: Int,
+      partitions: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("r", explode(sequence(lit(0), lit(repl - 1))))
+      .select((col("doc_id") * repl + col("r")).as("doc_id"), col("r"), col("text"))
+      .withColumn("text",
+        when(col("r") % 10 === 0, col("text"))
+          .when(col("r") % 10 === 1, expr(
+            "array_join(transform(split(text, ' '), (t, i) -> " +
+              "case when i = pmod(r, 41) then concat('nd', cast(r as string)) " +
+              "else t end), ' ')"))
+          .otherwise(expr(
+            "array_join(transform(split(text, ' '), (t, i) -> " +
+              "case when i % 3 = 0 then concat('u', cast(r as string), 'x', cast(i as string)) " +
+              "else t end), ' ')")))
+      .select(col("doc_id"), col("text"))
+      .repartition(partitions, col("doc_id"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "20").toInt
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val phase = sys.env.getOrElse("SPARK_GRAFT_PHASE", "kg")
     val waves = sys.env.getOrElse("SPARK_GRAFT_WAVES", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,6 +100,58 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (phase == "dedup") {
+      // dedup-scaling phase (north-rule evidence for the LLM-pipeline ops):
+      // dupClusters = exact-collapse + minhash-LSH + connected components in
+      // one operator — the compound 100 TB dedup path. Same two-parallelism
+      // methodology as the KG phase; same cached deterministic input.
+      val corpusDir = {
+        val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/tmp/graft-dedupcorpus-$tag-x$repl-v2"
+        val target = java.nio.file.Paths.get(dir)
+        if (!Files.exists(target.resolve("_SUCCESS"))) {
+          val tmp = Files.createTempDirectory(target.getParent, "graft-dedupcorpus-build")
+          dedupStressCorpus(spark, sfDir, repl, 64)
+            .write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException
+                if Files.exists(target) =>
+              graft.kg.emit.TableIO.deleteTree(tmp.toString)
+          }
+        }
+        dir
+      }
+      def oneRun(): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        // production LSH geometry (16 bands x 2 rows): at web scale the 32x1
+        // default's per-band candidate probability ~J makes low-J noise
+        // quadratic (measured: 55k unique shared-vocab texts -> 11.8M
+        // candidates at 32x1 vs ~20k at 16x2); 16x2 keeps P(candidate|J=0.9)
+        // at 1 - 3e-12, so the planted dups are all found
+        val decisions = graft.ops.Dedup.dupClusters(
+          spark.read.parquet(corpusDir), bands = 16, rows = 2)
+        val row = decisions.agg(count(lit(1)).as("n"), sum(col("is_dup")).as("d")).head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling-dedup] docs=${row.getLong(0)} " +
+          f"dups=${row.getLong(1)} wall=$wall%.1f s")
+        spark.catalog.clearCache()
+        (row.getLong(0), row.getLong(1), wall)
+      }
+      oneRun() // warm-up, discarded
+      val runs = (1 to nRuns).map(_ => oneRun())
+      val walls = runs.map(_._3).sorted
+      val median = walls(walls.length / 2)
+      println(
+        s"""{"metric":"dedup_docs_per_sec","value":${runs.head._1 / median},""" +
+        s""""unit":"docs/sec","cpus":$cpus,"docs":${runs.head._1},""" +
+        s""""dups":${runs.head._2},"wall_sec_median":$median,""" +
+        s""""wall_sec_all":[${walls.mkString(",")}],"sf":"$sfDir","repl":$repl}""")
+      spark.stop()
+      return
+    }
 
     // corpus PREP (untimed): the span derivation stands in for the upstream
     // HTML→spans flattening (SURVEY.md §2.1 R1) — the pipeline's input is the

@@ -44,8 +44,9 @@ import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
   * pairs — a k-copy cluster therefore has C(k,2) OUTPUT rows because the
   * contract demands every pair; that blow-up is inherent to the contract,
   * not to the join. The 100 TB path is [[dupClusters]], which never
-  * materializes within-cluster pairs: members reach their representative by
-  * a LINEAR star edge and connected components do the rest.
+  * materializes within-cluster pairs: connected components run only over the
+  * sparse rep-level pair graph and members inherit their rep's component
+  * through one join.
   *
   * Caching: none. No operator here persists intermediates — the shared
   * shingle/signature subtrees end in one `repartition(doc_id)` exchange that
@@ -440,42 +441,53 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
-  /** The LINEAR edge relation behind [[dupClusters]]: rep-level LSH pairs
-    * plus one star edge per non-representative member (doc → rep, guarded to
-    * groups whose representative has at least one shingle, mirroring the
-    * pair operators' zero-shingle behavior). A k-copy exact cluster
-    * contributes exactly k-1 edges — never C(k,2). Package-private so
-    * OpsSpec can assert the linear growth. Output: (src, dst) long ids.
+  /** Representative-level LSH pairs (the CC input of [[dupClusters]]):
+    * collapse → shingles → capped candidates → exact verify, WITHOUT the
+    * member expansion. Its size depends only on the number of near-dup
+    * DISTINCT-text pairs — never on duplicate-cluster sizes (OpsSpec pins
+    * that a 1000-copy cluster leaves it unchanged). Output: (a, b) rep ids.
     */
-  private[graft] def dupEdges(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
+  private[graft] def lshRepPairs(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
+      bands: Int = 32, rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    val (reps, _) = exactCollapse(corpus)
+    val sh = shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
+    verifyJaccard(lshCandidates(sh, bands, rows, portable = false, maxBucket), sh, numer, denom)
+      .select(col("a"), col("b"))
+  }
+
+  /** The dedup DECISION: near-dup pairs are only half the operator — a
+    * training-data pipeline must pick one survivor per duplicate CLUSTER
+    * (pairs are not transitive-closed: A~B, B~C often without A~C).
+    *
+    * Structure: connected components run ONLY over the representative-level
+    * near-dup pair graph (sparse — one node per distinct text that has a
+    * fuzzy neighbor; the same iterative large-star/small-star engine as
+    * surface canonicalization, R13, over raw LongType ids). Exact-duplicate
+    * members never enter CC at all: member → representative is a KNOWN
+    * function from the collapse, so each member inherits its rep's component
+    * through one join — at 10^12 docs the iterative engine touches only the
+    * pair graph of unique texts, not a corpus-sized star forest, and no
+    * within-cluster pair blow-up ever materializes. keep_id = the cluster's
+    * minimum doc_id (rep = min of its exact group; component = min rep);
+    * docs in no pair keep themselves, and members of sub-n-token (zero-
+    * shingle) exact groups keep themselves, mirroring the pair operators'
+    * no-signature behavior. Output: (doc_id, keep_id, is_dup).
+    */
+  def dupClusters(corpus: DataFrame, numer: Int = 1, denom: Int = 2,
       bands: Int = 32, rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
     val (reps, members) = exactCollapse(corpus)
     val sh = shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
     val repPairs =
       verifyJaccard(lshCandidates(sh, bands, rows, portable = false, maxBucket), sh, numer, denom)
-    val starEdges = members.where(col("doc_id") =!= col("rep_id"))
-      .join(repShingleSizes(sh), "rep_id")
-      .select(col("doc_id").as("src"), col("rep_id").as("dst"))
-    repPairs.select(col("a").as("src"), col("b").as("dst")).unionByName(starEdges)
-  }
-
-  /** The dedup DECISION: near-dup pairs are only half the operator — a
-    * training-data pipeline must pick one survivor per duplicate CLUSTER
-    * (pairs are not transitive-closed: A~B, B~C often without A~C). Connected
-    * components over the [[dupEdges]] graph (the same iterative
-    * large-star/small-star engine as surface canonicalization, R13) assign
-    * every doc its cluster's minimum doc_id as keep_id; docs in no pair keep
-    * themselves. Ids stay LongType end-to-end (the CC engine is
-    * column-type-generic); exact-dup members reach the cluster through their
-    * star edge, so no within-cluster pair blow-up ever materializes.
-    * Output: (doc_id, keep_id, is_dup).
-    */
-  def dupClusters(corpus: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame = {
-    val comps = graft.kg.canon.ConnectedComponents.run(dupEdges(corpus, numer, denom))
-    corpus.select(col("doc_id"))
-      .join(comps.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+    val comps = graft.kg.canon.ConnectedComponents
+      .run(repPairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("node").as("rep_id"), col("component"))
+    members
+      .join(repShingleSizes(sh), Seq("rep_id"), "left")
+      .join(comps, Seq("rep_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("keep_id"))
+        when(col("n").isNull, col("doc_id")) // zero-shingle group: keep self
+          .otherwise(coalesce(col("component"), col("rep_id"))).as("keep_id"))
       .select(col("doc_id"), col("keep_id"),
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
   }

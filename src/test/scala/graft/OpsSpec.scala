@@ -150,7 +150,7 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (d, k, dup) => (dup == 1L) == (k != d) })
   }
 
-  test("hot-bucket guard: a 1000-copy cluster adds dedup edges linearly, never C(k,2)") {
+  test("hot-bucket guard: a 1000-copy cluster never inflates the CC pair graph") {
     val base = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .where(col("doc_id") < 50)
@@ -158,14 +158,13 @@ class OpsSpec extends SparkTestBase {
       .select(col("text")).head().getString(0)
     def withCopies(k: Int) = base.unionByName(
       spark.range(k).select((col("id") + 10000L).as("doc_id"), lit(copyText).as("text")))
-    val e250 = Dedup.dupEdges(withCopies(250)).count()
-    val e1000 = Dedup.dupEdges(withCopies(1000)).count()
-    // exactly one star edge per extra copy — the candidate join never sees
-    // the cluster's members, only its single representative
-    assert(e1000 - e250 === 750L,
-      s"cluster edges must grow linearly: 250 copies -> $e250 edges, 1000 -> $e1000")
-    // rep-level candidate pairs are INDEPENDENT of the copy count
-    assert(e250 - 250 === e1000 - 1000)
+    // the CC input (rep-level near-dup pairs) is INDEPENDENT of the copy
+    // count — cluster members never enter candidate generation or CC; they
+    // inherit their rep's component through one join
+    val p250 = Dedup.lshRepPairs(withCopies(250)).count()
+    val p1000 = Dedup.lshRepPairs(withCopies(1000)).count()
+    assert(p250 === p1000,
+      s"rep-pair graph must not grow with cluster size: 250 -> $p250, 1000 -> $p1000")
     // and the decision is right: every copy's survivor is doc 0
     val keep = Dedup.dupClusters(withCopies(1000)).where(col("doc_id") >= 10000L)
       .select("keep_id").distinct().collect().map(_.getLong(0)).toSeq
