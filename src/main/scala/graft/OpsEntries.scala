@@ -44,8 +44,15 @@ object OpsEntries {
       Dedup.dupClusters(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
+    // the compound curation pipeline: quality/language gate -> dedup
+    // decision -> curated corpus (stage composition verified end-to-end)
+    "curate_corpus" -> ((s, dir) => TextOps.curate(docs(s, dir))),
     // ---- similarity search -------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    // all-pairs thresholded k-NN join: sign-band LSH blocking + two-level
+    // salted ranking; oracle = brute force (blocking exact on this corpus)
+    "sim_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(Similarity.derivedKnnEmbeddings(emb(s, dir)))),
     "sim_batch_topk" -> ((s, dir) => Similarity.batchTopK(emb(s, dir))),
     "sim_ivf_topk" -> ((s, dir) => {
       val idx = Similarity.materializedIndex(s, emb(s, dir), tag = dir)
@@ -86,12 +93,16 @@ object OpsEntries {
       |  SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0
       |)""".stripMargin
 
-  /** Distinct 3-gram shingles + per-doc sizes, shared by the Jaccard oracles. */
-  private val shinglesCtes =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
-      |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+  /** Distinct 3-gram shingles + per-doc sizes over `rel`, shared by the
+    * Jaccard/clusters/curation oracles.
+    */
+  private def shinglesCtesOver(rel: String) =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $rel),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val shinglesCtes = shinglesCtesOver("corpus")
 
   private def jaccardSql(numer: Int, denom: Int) =
     s"""$corpusCte,
@@ -177,6 +188,26 @@ object OpsEntries {
        |WHERE bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin
   }
 
+  /** The dedup-decision mechanics as CTEs (assumes sh/sz in scope): J>=1/2
+    * pair relation, symmetric closure, transitive reachability (recursive
+    * CTE), min-reachable component per node. Shared by the dedup_clusters
+    * and curate_corpus oracles.
+    */
+  private val reachCompCtes: String =
+    """cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT a, b FROM cm
+      |       JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
+      |       WHERE common * 2 >= (sa.n + sb.n - common) * 1),
+      |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+      |nodes AS (SELECT DISTINCT x AS n FROM sym),
+      |reach(s, t) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x
+      |),
+      |comp AS (SELECT s AS d, min(t) AS keep FROM reach GROUP BY s)""".stripMargin
+
   /** Recursive-CTE oracle for dedup_clusters: the same J>=1/2 pair relation,
     * symmetric closure, transitive reachability, min-reachable per node;
     * docs in no pair keep themselves.
@@ -184,24 +215,45 @@ object OpsEntries {
   private val dupClustersSql: String =
     s"""${corpusCte.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
        |$shinglesCtes,
-       |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-       |pr AS (SELECT a, b FROM cm
-       |       JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id
-       |       WHERE common * 2 >= (sa.n + sb.n - common) * 1),
-       |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
-       |nodes AS (SELECT DISTINCT x AS n FROM sym),
-       |reach(s, t) AS (
-       |  SELECT n, n FROM nodes
-       |  UNION
-       |  SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x
-       |),
-       |comp AS (SELECT s AS d, min(t) AS keep FROM reach GROUP BY s)
+       |$reachCompCtes
        |SELECT c.doc_id,
        |  CAST(coalesce(comp.keep, c.doc_id) AS BIGINT) AS keep_id,
        |  CAST(CASE WHEN coalesce(comp.keep, c.doc_id) != c.doc_id
        |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM corpus c LEFT JOIN comp ON comp.d = c.doc_id""".stripMargin
+
+  /** Composition oracle for curate_corpus: the text_quality and text_langid
+    * mechanics (same stopword list / marker VALUES — single sources in
+    * TextOps), the exact integer/string gate, then the FULL dedup-decision
+    * reachability construction over the gate's survivors; only each
+    * cluster's keeper is emitted.
+    */
+  private val curateSql: String =
+    s"""${corpusCte.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
+       |markers(token, mlang) AS (VALUES
+       |  ${TextOps.langMarkers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")}),
+       |st AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       |         CAST(floor(10000.0 * (1.0 - 1.0 * ns / nt) * least(nt, 64) / 64.0) AS BIGINT) AS quality_e4
+       |       FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+       |               len(list_filter(string_split(text, ' '),
+       |                   t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns
+       |             FROM corpus)),
+       |lb AS (SELECT doc_id, mlang FROM (
+       |         SELECT doc_id, mlang, count(*) AS score
+       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus)
+       |         JOIN markers USING (token) GROUP BY 1, 2)
+       |       QUALIFY row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, mlang ASC) = 1),
+       |kept AS (SELECT c.doc_id, c.text, st.n_tokens, st.quality_e4,
+       |                coalesce(lb.mlang, 'unknown') AS pred_lang
+       |         FROM corpus c JOIN st USING (doc_id) LEFT JOIN lb USING (doc_id)
+       |         WHERE st.quality_e4 >= 7000
+       |           AND coalesce(lb.mlang, 'unknown') IN ('en')),
+       |${shinglesCtesOver("kept")},
+       |$reachCompCtes
+       |SELECT k.doc_id, k.pred_lang, k.n_tokens, k.quality_e4
+       |FROM kept k LEFT JOIN comp ON comp.d = k.doc_id
+       |WHERE coalesce(comp.keep, k.doc_id) = k.doc_id""".stripMargin
 
   private val embCte =
     """WITH emb AS (
@@ -213,6 +265,42 @@ object OpsEntries {
       |      (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END)
       |  FROM embeddings WHERE vec_id % 3 = 0
       |)""".stripMargin
+
+  /** Mirrors [[graft.ops.Similarity.derivedKnnEmbeddings]] (DuckDB lambda
+    * index is 1-based, hence i = 1; scale factors are the same decimal
+    * literals, so both engines hold the identical double).
+    */
+  private val knnEmbCte: String = {
+    val variants = (1 to 3).map { m =>
+      s"""  UNION ALL
+         |  SELECT CAST(vec_id + ${m}000000 AS BIGINT),
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      (x, i) -> CASE WHEN i = 1 THEN x * 1.0$m ELSE x END)
+         |  FROM embeddings WHERE vec_id % 3 = 0""".stripMargin
+    }.mkString("\n")
+    s"""WITH emb AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings
+       |$variants
+       |)""".stripMargin
+  }
+
+  /** Brute-force oracle for sim_knn_join: every directed pair at cosine >=
+    * threshold, ranked per query vector. The Spark plan's LSH blocking is
+    * exact on this corpus (see knnJoin's scaladoc), so the relations agree.
+    */
+  private val knnJoinSql: String =
+    s"""$knnEmbCte
+       |SELECT vec_id, nbr_id,
+       |  CAST(row_number() OVER (PARTITION BY vec_id
+       |         ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS rank
+       |FROM (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+       |    list_dot_product(x.e, y.e) /
+       |      (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
+       |  FROM emb x JOIN emb y ON x.vec_id != y.vec_id)
+       |WHERE cos >= 0.95
+       |QUALIFY rank <= 3""".stripMargin
 
   /** Replicates the IVF mechanics: deterministic cells (vec_id < 16), nearest-
     * cell assignment (cos desc, cell_id asc), 4-cell probe, top-10 within the
@@ -362,6 +450,8 @@ object OpsEntries {
     "dedup_minhash_lsh_16x2" -> minhashLsh16x2Sql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> dupClustersSql,
+    "curate_corpus" -> curateSql,
+    "sim_knn_join" -> knnJoinSql,
     "dedup_embedding" ->
       s"""$embCte
          |SELECT x.vec_id AS a, y.vec_id AS b

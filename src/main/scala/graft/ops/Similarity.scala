@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.kg.expr.SignBands.signBands
+import graft.kg.expr.SignBandsAlgo
 import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
 
 /** Approximate-nearest-neighbor similarity search over the `embeddings`
@@ -292,5 +294,73 @@ object Similarity {
       idx.where(col("vec_id") =!= queryVecId)
         .withColumn("qv", typedLit(qv))
         .withColumn("cos", dotProduct(col("emb"), col("qv")) / (col("norm") * lit(qn))), k)
+  }
+
+  /** Deterministic k-NN-join corpus: originals plus, for every 3rd vector,
+    * THREE near-dup variants (vec_id + m·1_000_000, component 0 scaled by
+    * 1.0m, m = 1..3) — each planted group of 4 vectors is mutually at cosine
+    * ≥ 0.999, so every group member has exactly three thresholded neighbors
+    * and the rank column is meaningfully exercised (the in-group cosines
+    * differ at the 1e-4 scale — far above double noise, so the ordering is
+    * deterministic on both sides). Scale factors are written as decimal
+    * LITERALS so Spark and the DuckDB oracle parse the identical double.
+    */
+  def derivedKnnEmbeddings(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    (1 to 3).foldLeft(base) { (acc, m) =>
+      acc.unionByName(base.where(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + m * 1000000L).as("vec_id"),
+          expr(s"transform(emb, (x, i) -> case when i = 0 then x * 1.0$m else x end)")
+            .as("emb")))
+    }
+  }
+
+  /** All-pairs k-NN JOIN, thresholded: for EVERY vector, its k nearest
+    * neighbors among those at cosine ≥ `threshold` — the per-document "find
+    * my near-duplicates/translations" primitive, where [[bruteForceTopK]] is
+    * one query and this is all of them at once. Never all-pairs: candidates
+    * come from the same random-hyperplane sign-band collisions as
+    * [[graft.ops.Dedup.embeddingNearDups]] (equi-join on (band, key)); only
+    * candidates pay the exact cosine; the undirected verified pairs are then
+    * symmetrized (each cosine computed ONCE) and ranked with the two-level
+    * salted window of [[batchTopK]] so no task ever sorts more than
+    * ~neighbors/salts rows per vector. Shares the brute-force DuckDB oracle
+    * by the [[graft.ops.Dedup.embeddingNearDups]] recall argument — and on
+    * the planted corpus the variants differ only by a POSITIVE scaling of
+    * one component, so group members have bit-identical sign bands and the
+    * planted pairs are candidates with probability exactly 1.
+    * Output: (vec_id, nbr_id, rank), rank 1..k per vec_id.
+    */
+  def knnJoin(derived: DataFrame, threshold: Double = 0.95, k: Int = 3,
+      bands: Int = 24, rows: Int = 12, dim: Int = 64, seed: Long = 42L,
+      salts: Int = 8): DataFrame = {
+    val planes = SignBandsAlgo.planes(bands, rows, dim, seed)
+    val keyed = derived.select(col("vec_id"),
+      posexplode(signBands(col("emb"), planes, bands, rows)).as(Seq("band", "key")))
+    val cands = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val withNorm = derived.select(col("vec_id"), col("emb"), l2Norm(col("emb")).as("norm"))
+    val verified = cands
+      .join(withNorm.select(col("vec_id").as("a"), col("emb").as("ea"), col("norm").as("na")), "a")
+      .join(withNorm.select(col("vec_id").as("b"), col("emb").as("eb"), col("norm").as("nb")), "b")
+      .withColumn("cos", dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+    val directed = verified.select(col("a").as("vec_id"), col("b").as("nbr_id"), col("cos"))
+      .unionByName(verified.select(col("b").as("vec_id"), col("a").as("nbr_id"), col("cos")))
+    val ord = Seq(col("cos").desc, col("nbr_id").asc)
+    val wSalted = Window.partitionBy(col("vec_id"), col("salt")).orderBy(ord: _*)
+    val wFinal = Window.partitionBy(col("vec_id")).orderBy(ord: _*)
+    directed
+      .withColumn("salt", pmod(xxhash64(col("nbr_id")), lit(salts)).cast("int"))
+      .withColumn("prerank", row_number().over(wSalted))
+      .where(col("prerank") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
   }
 }

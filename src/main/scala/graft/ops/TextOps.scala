@@ -64,18 +64,28 @@ object TextOps {
     * grow (a per-language exists() column would re-plan per dictionary
     * change and stop scaling past a handful of languages).
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val session = docs.sparkSession
+  /** The marker-scoring argmax behind [[langId]], usable on any
+    * (doc_id, text) relation (the curation gate runs it over the derived
+    * dedup corpus, which has no `lang` column). Docs hitting no marker are
+    * ABSENT — callers coalesce to 'unknown'. Output: (doc_id, pred_lang,
+    * score).
+    */
+  def predLang(rel: DataFrame): DataFrame = {
+    val session = rel.sparkSession
     import session.implicits._
     val markers = langMarkers.toDF("token", "mlang")
-    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
-    val best = toks.join(broadcast(markers), "token")
+    rel.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(markers), "token")
       .groupBy(col("doc_id"), col("mlang")).agg(count(lit(1)).as("score"))
       .groupBy(col("doc_id"))
       .agg(min_by(struct(col("mlang"), col("score")),
         struct((-col("score")).as("ns"), col("mlang"))).as("b"))
       .select(col("doc_id"), col("b.mlang").as("pred_lang"), col("b.score").as("score"))
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val best = predLang(docs)
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -97,4 +107,34 @@ object TextOps {
       (expr("aggregate(transform(split(text, ' '), (t, i) -> cast((i + 1) * length(t) as bigint)), " +
         "cast(0 as bigint), (acc, x) -> acc + x)") % 1000000007L).as("rolling"),
       xxhash64(col("text")).as("xx64"))
+
+  /** End-to-end corpus CURATION — the compound operator a training-data
+    * pipeline actually runs: per-doc stats ([[quality]] + [[predLang]]) over
+    * the derived dedup corpus, an exact integer/string gate
+    * (quality_e4 ≥ min AND predicted language allowed), then the full dedup
+    * DECISION ([[graft.ops.Dedup.dupClusters]]: exact collapse → MinHash-LSH
+    * → connected components) over the SURVIVORS of the gate, emitting only
+    * each duplicate cluster's keeper. Every stage is a relation the earlier
+    * queries verify in isolation; this query verifies their COMPOSITION
+    * against one DuckDB oracle (gate replicated in SQL, dedup via the
+    * recursive-CTE reachability construction). Gate thresholds are
+    * fixed-point integers / strings so the cut is bit-exact on both sides.
+    * Output: (doc_id, pred_lang, n_tokens, quality_e4) of kept docs.
+    */
+  def curate(docs: DataFrame, minQualityE4: Long = 7000L,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val corpus = Dedup.derivedCorpus(docs)
+    val stats = quality(corpus).select("doc_id", "n_tokens", "quality_e4")
+    val lang = predLang(corpus).select("doc_id", "pred_lang")
+    val kept = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(stats, "doc_id")
+      .join(lang, Seq("doc_id"), "left")
+      .withColumn("pred_lang", coalesce(col("pred_lang"), lit("unknown")))
+      .where(col("quality_e4") >= minQualityE4 &&
+        col("pred_lang").isin(langs.map(x => x: Any): _*))
+    val keepers = Dedup.dupClusters(kept.select(col("doc_id"), col("text")))
+      .where(col("is_dup") === 0L).select("doc_id")
+    kept.join(keepers, "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_e4"))
+  }
 }

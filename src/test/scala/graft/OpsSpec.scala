@@ -312,4 +312,47 @@ class OpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(dups == planted)
   }
+
+  test("knn join == brute-force thresholded ranking; planted groups complete") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
+    val derived = Similarity.derivedKnnEmbeddings(spark.read.parquet(s"$sf/embeddings.parquet"))
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(Similarity.knnJoin(derived))
+    // brute-force reference: every directed pair scored, one global window
+    val withNorm = derived.withColumn("norm", l2Norm(col("emb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    val brute = rows(withNorm.as("x")
+      .join(withNorm.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
+        (dotProduct(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))).as("cos"))
+      .where(col("cos") >= 0.95)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("vec_id"), col("nbr_id"), col("rank").cast("long")))
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} spurious=${(got -- brute).take(5)}")
+    // every planted group of 4 (base %3==0 + three variants) is mutually
+    // above the threshold: 4 members x 3 neighbors each
+    val nGroups = derived.where(col("vec_id") < 1000000L && col("vec_id") % 3 === 0).count()
+    assert(got.size == nGroups * 12, s"groups=$nGroups rows=${got.size}")
+  }
+
+  test("curate: gate exact, no duplicate survives, exact copies never win") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextOps.curate(docs).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // (doc_id, pred_lang, n_tokens, quality_e4): every survivor passes the gate
+    assert(rows.forall(r => r.getString(1) == "en" && r.getLong(3) >= 7000L))
+    // survivors have pairwise-distinct texts (exact dedup actually applied
+    // after the gate)
+    val texts = out.select("doc_id").join(corpus, "doc_id")
+    assert(texts.groupBy(md5(col("text"))).count().where(col("count") > 1).isEmpty)
+    // a planted exact copy (+2M) gates in iff its base does (identical text),
+    // and then always loses to the base's smaller doc_id
+    assert(rows.forall(_.getLong(0) < 2000000L))
+    out.unpersist()
+  }
 }

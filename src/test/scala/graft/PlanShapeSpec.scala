@@ -77,7 +77,10 @@ class PlanShapeSpec extends SparkTestBase {
     // the shingle relation feeds the signature agg, both verify sides, and
     // the size agg; without persist (removed — cache hygiene) the shared
     // exchanges must be REUSED at runtime, not recomputed. AQE materializes
-    // reuse in the FINAL plan, so execute first.
+    // reuse in the FINAL plan, so execute first. Ambient cached relations
+    // from other suites (the shared session) change AQE's join strategy and
+    // can plan the reuse away — assert from a clean cache.
+    spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -91,6 +94,15 @@ class PlanShapeSpec extends SparkTestBase {
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows == 2, s"expected the two-level ranking (2 Window nodes), plan:\n$p")
     assert(p.contains("salt"), "first window must partition by (query_id, salt)")
+  }
+
+  test("knn join: blocked equi-join + two-level ranking, no cartesian") {
+    val p = plan("sim_knn_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "sim_knn_join degenerated to an all-pairs nested loop")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2, s"expected the two-level ranking (2 Window nodes), plan:\n$p")
   }
 
   test("salted skill join takes the shuffle (non-broadcast) path") {
