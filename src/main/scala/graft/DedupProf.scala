@@ -17,8 +17,12 @@ object DedupProf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val corpus = ScalingBench.dedupStressCorpus(spark, "/root/testdata/sf0.1", repl, 64)
-      .localCheckpoint()
+    // PROF_DIR: profile the exact parquet corpus the scaling bench reads
+    // (no localCheckpoint — identical scan shape); else derive in-memory
+    val corpus = sys.env.get("PROF_DIR")
+      .map(spark.read.parquet(_))
+      .getOrElse(ScalingBench.dedupStressCorpus(spark, "/root/testdata/sf0.1", repl, 64)
+        .localCheckpoint())
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

@@ -93,6 +93,18 @@ object ScalingBench {
       // per core is identical at both parallelism levels so the comparison
       // stays fair
       .config("spark.sql.shuffle.partitions", cpus * waves)
+      // the dedup stress corpus is only ~50 MB in 64 files: at the default
+      // 128m split size + 4m file-open cost the whole scan bins into ~3
+      // splits, so the scan-side map stages (shingle explode, md5
+      // signatures — the op's heaviest CPU work) run on 3 tasks and starve
+      // the 8-core level while fully feeding the 2-core one (measured: 2.4×
+      // instead of 4× on exactly those stages, 0.65 whole-run efficiency).
+      // 4m makes every file its own split (64 splits = full waves at both
+      // levels, identical files read either way). The KG phase's postings
+      // table is ~40× larger and correctly split at the default — keep it.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART",
+          if (phase == "dedup") "4m" else "128m"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
