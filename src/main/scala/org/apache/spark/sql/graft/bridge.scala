@@ -21,4 +21,14 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Apply a SparkSessionExtensions' injected functions to a session's
+    * registry — the exact (but `private[sql]`) call
+    * `SparkSession.applyExtensions` makes at build time; exposed so tests
+    * can drive the `spark.sql.extensions` path against the shared session.
+    */
+  def applyExtensionFunctions(
+      spark: SparkSession,
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

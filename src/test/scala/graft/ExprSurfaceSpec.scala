@@ -23,6 +23,26 @@ class ExprSurfaceSpec extends SparkTestBase {
     assert(r.getDouble(2) == 5.0)
   }
 
+  test("GraftExtensions injects the same SQL surface (spark.sql.extensions path)") {
+    // a brand-new session can't be built inside the shared-session test JVM,
+    // but SparkSessionExtensions.registerFunctions is the exact (public)
+    // call SparkSession.applyExtensions makes at build time — drive it
+    // against this session's registry and the SQL surface must appear
+    val reg = spark.sessionState.functionRegistry
+    for (n <- Seq("jaro_winkler", "dot_product", "l2_norm"))
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.Bridge.applyExtensionFunctions(spark, ext)
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "l2_norm(array(3.0d, 4.0d)) AS n").head()
+    assert(math.abs(r.getDouble(0) - 0.9611) < 1e-3)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 5.0)
+  }
+
   test("proximity mentions: only li spans within k of the anchor match") {
     val s = spark
     import s.implicits._

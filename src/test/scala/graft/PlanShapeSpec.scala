@@ -73,20 +73,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"fused plan has $fused shuffles, two-step has $twoStep — expected exactly one saved")
   }
 
-  test("dedup shared subtrees are computed once: ReusedExchange in the LSH plan") {
+  test("dedup shingle relation is computed once and SHARED by all consumers") {
     // the shingle relation feeds the signature agg, both verify sides, and
-    // the size agg; without persist (removed — cache hygiene) the shared
-    // exchanges must be REUSED at runtime, not recomputed. AQE materializes
-    // reuse in the FINAL plan, so execute first. Ambient cached relations
-    // from other suites (the shared session) change AQE's join strategy and
-    // can plan the reuse away — assert from a clean cache.
+    // the size agg; it is materialized exactly once (localCheckpoint — see
+    // Dedup.materializedOnce for why ReuseExchange alone was measured
+    // insufficient) and every consumer must scan the SAME checkpointed RDD:
+    // the plan shows multiple ExistingRDD scans and ZERO re-derivations of
+    // the shingle explode (no Generate node above a documents scan).
     spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.linesIterator.exists(_.contains("isFinalPlan=true")))
-    assert(p.contains("ReusedExchange"),
-      s"expected ReusedExchange nodes for the shared shingle subtree:\n${p.take(4000)}")
+    val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans >= 2,
+      s"expected the checkpointed shingle relation to be scanned by multiple consumers, got $rddScans:\n${p.take(4000)}")
+    // the shingle gram construction (slice of the token split) must appear
+    // NOWHERE in the final plan — every consumer reads the checkpoint (the
+    // band-key Generate is a different, legitimate explode)
+    assert(!p.contains("slice(split("),
+      "shingle derivation must not be recomputed downstream of the checkpoint")
   }
 
   test("batch top-k plans as two windows: per-(query,salt) pre-top-k then final") {
