@@ -1,0 +1,56 @@
+// Spark-free host probe: how well does THIS box scale hash-style
+// RANDOM-ACCESS memory work from T to 4T concurrent processes/threads?
+// The round-2 probe (concurrent bulk copies) measured SEQUENTIAL bandwidth
+// and showed ideal 2->8 scaling; hash joins / hash aggs / shuffle hash maps
+// are latency-bound scattered access, which shares the memory subsystem
+// differently. Each thread owns a private 512 MB long[] and performs a
+// dependent pseudo-random walk with a scatter update (read-modify-write at
+// a random slot) - the access pattern of a hash-aggregate probe/update.
+// Usage: java MemProbe <threads> <seconds>   -> prints total Msteps/s.
+public class MemProbe {
+  static volatile boolean stop = false;
+  static final java.util.concurrent.CountDownLatch ready =
+      new java.util.concurrent.CountDownLatch(1);
+  public static void main(String[] args) throws Exception {
+    final int threads = Integer.parseInt(args[0]);
+    final int seconds = args.length > 1 ? Integer.parseInt(args[1]) : 20;
+    final long[] counts = new long[threads];
+    Thread[] ts = new Thread[threads];
+    final java.util.concurrent.CountDownLatch inited =
+        new java.util.concurrent.CountDownLatch(threads);
+    for (int t = 0; t < threads; t++) {
+      final int id = t;
+      ts[t] = new Thread(() -> {
+        final int n = 64 * 1024 * 1024; // 512 MB of longs per thread
+        final long[] a = new long[n];
+        java.util.Random r = new java.util.Random(42 + id);
+        for (int i = 0; i < n; i++) a[i] = r.nextInt(n);
+        inited.countDown();
+        try { ready.await(); } catch (InterruptedException e) { return; }
+        long steps = 0;
+        int idx = id;
+        long x = 0x9E3779B97F4A7C15L * (id + 1);
+        while (!stop) {
+          for (int k = 0; k < 1 << 16; k++) {
+            idx = (int) a[idx];            // dependent random read
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17;
+            int j = (int) ((x & 0x7FFFFFFFFFFFFFFFL) % n);
+            a[j] = (a[j] + idx) % n;       // scatter update
+          }
+          steps += 1 << 16;
+        }
+        counts[id] = steps;
+      });
+      ts[t].start();
+    }
+    inited.await(); // every thread allocated+initialized before the clock
+    long t0 = System.nanoTime();
+    ready.countDown();
+    Thread.sleep(seconds * 1000L);
+    stop = true;
+    for (Thread th : ts) th.join();
+    double wall = (System.nanoTime() - t0) / 1e9;
+    long total = 0; for (long c : counts) total += c;
+    System.out.printf("threads=%d Msteps_per_sec=%.1f%n", threads, total / wall / 1e6);
+  }
+}

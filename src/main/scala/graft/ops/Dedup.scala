@@ -124,8 +124,14 @@ object Dedup {
     * strictly cheaper than recomputing a corpus-wide derivation 2–4×.
     * localCheckpoint preserves the physical partitioning in the LogicalRDD,
     * so downstream per-doc aggs/joins keep the clustering they relied on.
+    * DISK_ONLY storage: the relation can exceed the storage-memory pool at
+    * any scale (a 1M-doc run holds ~47M shingle rows), and an evicting
+    * MEMORY_AND_DISK checkpoint would compete with join/agg execution
+    * memory; executor-local disk behaves like one extra shuffle write and
+    * the OS page cache serves the re-reads.
     */
-  private def materializedOnce(df: DataFrame): DataFrame = df.localCheckpoint()
+  private def materializedOnce(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Distinct n-gram token shingles: (doc_id, s). Docs shorter than n tokens
     * emit none — the size guard matters because `sequence(1, size-n+1)`
