@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.kg.expr.{DotProduct, JaroWinkler, L2Norm}
+import graft.kg.expr.{functions, DotProduct, JaroWinkler, L2Norm}
 
 /** `spark.sql.extensions` entry point (SURVEY.md §4: custom surface
   * registered via SparkSessionExtensions): a spark-submit user passes
@@ -23,12 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info(classOf[JaroWinkler], "jaro_winkler"),
-      (es: Seq[Expression]) => JaroWinkler(es.head, es(1))))
+      (es: Seq[Expression]) => { functions.requireArity("jaro_winkler", es, 2)
+        JaroWinkler(es.head, es(1)) }))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info(classOf[DotProduct], "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => { functions.requireArity("dot_product", es, 2)
+        DotProduct(es.head, es(1)) }))
     ext.injectFunction((FunctionIdentifier("l2_norm"),
       info(classOf[L2Norm], "l2_norm"),
-      (es: Seq[Expression]) => L2Norm(es.head)))
+      (es: Seq[Expression]) => { functions.requireArity("l2_norm", es, 1)
+        L2Norm(es.head) }))
   }
 }

@@ -67,9 +67,13 @@ object ScalingBench {
       .select((col("doc_id") * repl + col("r")).as("doc_id"), col("r"), col("text"))
       .withColumn("text",
         when(col("r") % 10 === 0, col("text"))
+          // replaced index capped by the doc's own token count so EVERY
+          // near-dup replica differs from its base (pmod(r, 41) alone left
+          // short docs unmodified — exact copies mislabeled as near-dups)
           .when(col("r") % 10 === 1, expr(
             "array_join(transform(split(text, ' '), (t, i) -> " +
-              "case when i = pmod(r, 41) then concat('nd', cast(r as string)) " +
+              "case when i = pmod(r, least(41, size(split(text, ' ')))) " +
+              "then concat('nd', cast(r as string)) " +
               "else t end), ' ')"))
           .otherwise(expr(
             "array_join(transform(split(text, ' '), (t, i) -> " +
@@ -122,13 +126,15 @@ object ScalingBench {
       // dupClusters = exact-collapse + minhash-LSH + connected components in
       // one operator — the compound 100 TB dedup path. Same two-parallelism
       // methodology as the KG phase; same cached deterministic input.
-      val corpusDir = {
+      def corpusDirFor(r: Int): String = {
         val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-        val dir = s"/tmp/graft-dedupcorpus-$tag-x$repl-v2"
+        // v3: near-dup replacement index capped by token count (see
+        // dedupStressCorpus) — a v2 cache must not be reused
+        val dir = s"/tmp/graft-dedupcorpus-$tag-x$r-v3"
         val target = java.nio.file.Paths.get(dir)
         if (!Files.exists(target.resolve("_SUCCESS"))) {
           val tmp = Files.createTempDirectory(target.getParent, "graft-dedupcorpus-build")
-          dedupStressCorpus(spark, sfDir, repl, 64)
+          dedupStressCorpus(spark, sfDir, r, 64)
             .write.mode("overwrite").parquet(tmp.toString)
           try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch {
@@ -140,7 +146,8 @@ object ScalingBench {
         }
         dir
       }
-      def oneRun(): (Long, Long, Double) = {
+      val corpusDir = corpusDirFor(repl)
+      def oneRun(dir: String): (Long, Long, Double) = {
         val t0 = System.nanoTime()
         // production LSH geometry (16 bands x 2 rows): at web scale the 32x1
         // default's per-band candidate probability ~J makes low-J noise
@@ -148,7 +155,7 @@ object ScalingBench {
         // candidates at 32x1 vs ~20k at 16x2); 16x2 keeps P(candidate|J=0.9)
         // at 1 - 3e-12, so the planted dups are all found
         val decisions = graft.ops.Dedup.dupClusters(
-          spark.read.parquet(corpusDir), bands = 16, rows = 2)
+          spark.read.parquet(dir), bands = 16, rows = 2)
         val row = decisions.agg(count(lit(1)).as("n"), sum(col("is_dup")).as("d")).head()
         val wall = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scaling-dedup] docs=${row.getLong(0)} " +
@@ -156,8 +163,12 @@ object ScalingBench {
         spark.catalog.clearCache()
         (row.getLong(0), row.getLong(1), wall)
       }
-      oneRun() // warm-up, discarded
-      val runs = (1 to nRuns).map(_ => oneRun())
+      // warm-up on a SMALL corpus (same operator, same plan shape): JIT +
+      // codegen + classloading warm without paying a full-size discarded run
+      // — at multi-million-doc timed inputs that run would dominate the
+      // invocation's wall clock without adding evidence
+      oneRun(corpusDirFor(math.min(repl, 40)))
+      val runs = (1 to nRuns).map(_ => oneRun(corpusDir))
       val walls = runs.map(_._3).sorted
       val median = walls(walls.length / 2)
       println(

@@ -107,13 +107,24 @@ object Pipeline {
       Extractors.ngramMentions(spans.where(col("kind") === "li"), skillsGaz),
       Pred.requiresSkill)
 
-  /** Measured salt factors memoized per (analyzed-plan semantic hash, key,
+  /** Measured salt factors memoized per (canonicalized-plan digest, key,
     * partitions): the prep-pass aggregation runs ONCE per distinct fact
     * shape per JVM — honoring measuredSalts' "never per plan build" contract
     * without persisting the fact relation (nothing to unpersist, nothing for
-    * a library caller to leak; CacheHygieneSpec asserts it).
+    * a library caller to leak; CacheHygieneSpec asserts it). The memo key is
+    * an md5 over the full canonicalized plan string (not the 32-bit
+    * semanticHash — a birthday collision between distinct fact shapes would
+    * silently reuse a wrong salt factor). Salting is correctness-neutral, so
+    * the remaining staleness window (same source path, data replaced under it
+    * in a long-lived JVM) costs at most a mis-tuned salt, never a wrong row.
     */
-  private val saltMemo = scala.collection.concurrent.TrieMap.empty[(Int, String, Int), Int]
+  private val saltMemo = scala.collection.concurrent.TrieMap.empty[(String, String, Int), Int]
+
+  private def planDigest(df: DataFrame): String = {
+    val canonical = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Same result as [[skillTriples]] but through the skew-salted shuffle-join
     * path (hot key "Java"): correctness of salting is asserted by this and
@@ -139,7 +150,7 @@ object Pipeline {
     val s = salts.getOrElse {
       val parts = spans.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
       saltMemo.getOrElseUpdate(
-        (gramRows.queryExecution.analyzed.semanticHash(), "gram", parts),
+        (planDigest(gramRows), "gram", parts),
         Salting.measuredSalts(gramRows, "gram", parts))
     }
     val joined = Salting.saltedJoin(

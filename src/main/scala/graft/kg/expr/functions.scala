@@ -18,15 +18,26 @@ object functions {
   def sign_bands(emb: Column, planes: Array[Double], bands: Int, rows: Int): Column =
     SignBands.signBands(emb, planes, bands, rows)
 
+  /** Fail a wrong-arity SQL call with an error naming the function (not an
+    * IndexOutOfBoundsException from `es(1)`) — Spark surfaces the message as
+    * an analysis-time failure of the query.
+    */
+  private[graft] def requireArity(
+      name: String, es: Seq[_], expected: Int): Unit =
+    if (es.length != expected)
+      throw new IllegalArgumentException(
+        s"$name expects $expected argument(s), got ${es.length}")
+
   /** Register the scalar expressions with the session's FunctionRegistry so
     * `spark.sql("... jaro_winkler(a, b) ...")` works (SURVEY.md §4: custom
     * surface registered via FunctionRegistry).
     */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "jaro_winkler",
-      es => JaroWinkler(es.head, es(1)))
+      es => { requireArity("jaro_winkler", es, 2); JaroWinkler(es.head, es(1)) })
     Bridge.registerFunction(spark, "dot_product",
-      es => DotProduct(es.head, es(1)))
-    Bridge.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
+      es => { requireArity("dot_product", es, 2); DotProduct(es.head, es(1)) })
+    Bridge.registerFunction(spark, "l2_norm",
+      es => { requireArity("l2_norm", es, 1); L2Norm(es.head) })
   }
 }

@@ -75,10 +75,19 @@ object Dedup {
     base.unionByName(mutated).unionByName(copies)
   }
 
+  /** Collision-resistant content key for exact-equality grouping: sha2-256.
+    * md5 collisions are practically constructible, so an adversarial web
+    * corpus could silently merge two distinct texts into one "exact" group
+    * (mislabeling a non-duplicate and dropping it from curation); no public
+    * sha-256 collision exists. Cost is one hash per DOCUMENT (not per
+    * shingle) — noise next to the shingle-level md5 work.
+    */
+  private def contentKey(text: Column): Column = sha2(text, 256)
+
   /** Exact dedup: group by content hash, keep the smallest doc_id. */
   def exact(corpus: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("md5"))
-    corpus.select(col("doc_id"), md5(col("text")).as("md5"))
+    val w = Window.partitionBy(col("gh"))
+    corpus.select(col("doc_id"), contentKey(col("text")).as("gh"))
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("keep_id"),
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
@@ -95,7 +104,7 @@ object Dedup {
     */
   private[graft] def exactCollapse(corpus: DataFrame): (DataFrame, DataFrame) = {
     val hashed = corpus
-      .select(col("doc_id"), col("text"), md5(col("text")).as("gh"))
+      .select(col("doc_id"), col("text"), contentKey(col("text")).as("gh"))
       .repartition(col("gh"))
     val reps = hashed.groupBy(col("gh"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
@@ -129,9 +138,29 @@ object Dedup {
     * MEMORY_AND_DISK checkpoint would compete with join/agg execution
     * memory; executor-local disk behaves like one extra shuffle write and
     * the OS page cache serves the re-reads.
+    *
+    * SIZE-AWARE: below [[CheckpointMinBytesKey]] (Catalyst's estimate of the
+    * source corpus relation, default 16 MB) the checkpoint is SKIPPED — for a
+    * small corpus the recompute being avoided costs less than the extra
+    * eager job + disk round-trip, and the measured 3×-recompute win only
+    * appears once the shingle relation is exchange-scale (600k-doc corpus:
+    * task time 1048→557 s WITH the checkpoint; sf0.1's 4250-doc corpus: the
+    * checkpoint is pure constant-factor overhead). The decision reads the
+    * CORPUS plan estimate, not the derived relation's — file sources give
+    * accurate bytes, so the branch is deterministic per input.
     */
-  private def materializedOnce(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  private[graft] val CheckpointMinBytesKey = "spark.graft.dedup.checkpointMinBytes"
+
+  private def checkpointWorthwhile(corpus: DataFrame): Boolean = {
+    val minBytes = BigInt(corpus.sparkSession.conf
+      .get(CheckpointMinBytesKey, (16L << 20).toString).toLong)
+    corpus.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+  }
+
+  private def materializedOnce(df: DataFrame, checkpoint: Boolean): DataFrame =
+    if (checkpoint)
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df
 
   /** Distinct n-gram token shingles: (doc_id, s). Docs shorter than n tokens
     * emit none — the size guard matters because `sequence(1, size-n+1)`
@@ -198,11 +227,13 @@ object Dedup {
       .join(members.select(col("rep_id").as("b"), col("doc_id").as("db")), "b")
       .select(least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"),
         col("common"), col("union_"))
+    // within-group J = 1 always passes any numer <= denom threshold, so no
+    // predicate here; the INNER join to repSizes is what drops zero-shingle
+    // groups (they have no row in repSizes), matching the uncollapsed plan
     val within = members.as("x").join(members.as("y"),
         col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.rep_id").as("rep_id"), col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .join(repSizes, "rep_id")
-      .where(col("n") * denom >= col("n") * numer)
       .select(col("a"), col("b"), col("n").as("common"), col("n").as("union_"))
     cross.unionByName(within)
   }
@@ -234,7 +265,8 @@ object Dedup {
       shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
         .withColumn("df", count(lit(1)).over(w))
         .where(col("df") <= maxDf)
-        .drop("df"))
+        .drop("df"),
+      checkpointWorthwhile(corpus))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -354,7 +386,8 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val (reps, members) = exactCollapse(corpus)
     val sh = materializedOnce(
-      shingles(reps.select(col("rep_id").as("doc_id"), col("text"))))
+      shingles(reps.select(col("rep_id").as("doc_id"), col("text"))),
+      checkpointWorthwhile(corpus))
     val repPairs =
       verifyJaccard(lshCandidates(sh, bands, rows, portable, maxBucket), sh, numer, denom)
     expandJaccardPairs(repPairs, members, repShingleSizes(sh), numer, denom)
@@ -401,7 +434,8 @@ object Dedup {
     // one row per distinct text (small); both sides of the band self-join
     // re-derive it otherwise
     val sigs = materializedOnce(
-      simhashSignatures(reps.select(col("rep_id").as("doc_id"), col("text"))))
+      simhashSignatures(reps.select(col("rep_id").as("doc_id"), col("text"))),
+      checkpointWorthwhile(corpus))
     val subsets = (0 until 6).combinations(3).toSeq
     val bandCols = subsets.zipWithIndex.map { case (blks, bi) =>
       val key = blks.zipWithIndex.map { case (blk, j) =>
@@ -484,7 +518,8 @@ object Dedup {
       bands: Int = 32, rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
     val (reps, _) = exactCollapse(corpus)
     val sh = materializedOnce(
-      shingles(reps.select(col("rep_id").as("doc_id"), col("text"))))
+      shingles(reps.select(col("rep_id").as("doc_id"), col("text"))),
+      checkpointWorthwhile(corpus))
     verifyJaccard(lshCandidates(sh, bands, rows, portable = false, maxBucket), sh, numer, denom)
       .select(col("a"), col("b"))
   }
@@ -515,7 +550,8 @@ object Dedup {
     // in the caller's final action — reuse across actions is impossible for
     // ReuseExchange by construction
     val sh = materializedOnce(
-      shingles(reps.select(col("rep_id").as("doc_id"), col("text"))))
+      shingles(reps.select(col("rep_id").as("doc_id"), col("text"))),
+      checkpointWorthwhile(corpus))
     val repPairs =
       verifyJaccard(lshCandidates(sh, bands, rows, portable = false, maxBucket), sh, numer, denom)
     val comps = graft.kg.canon.ConnectedComponents

@@ -28,7 +28,8 @@ import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
   * harness API, but the id is resolved to its vector with EXACTLY ONE point
   * lookup per query ([[queryVector]]); every internal stage takes the vector,
   * never the id — at 10^12 rows a repeated `where(vec_id = q)` lookup would
-  * be a second full scan (IvfJobCountSpec pins the job count).
+  * be a second full scan (OpsSpec "ivfTopK construction runs exactly 2
+  * driver jobs" pins the job count).
   */
 object Similarity {
 
@@ -326,10 +327,14 @@ object Similarity {
     * symmetrized (each cosine computed ONCE) and ranked with the two-level
     * salted window of [[batchTopK]] so no task ever sorts more than
     * ~neighbors/salts rows per vector. Shares the brute-force DuckDB oracle
-    * by the [[graft.ops.Dedup.embeddingNearDups]] recall argument — and on
-    * the planted corpus the variants differ only by a POSITIVE scaling of
-    * one component, so group members have bit-identical sign bands and the
-    * planted pairs are candidates with probability exactly 1.
+    * by the [[graft.ops.Dedup.embeddingNearDups]] recall argument.
+    * The planted variants scale ONE component (not the whole vector), so a
+    * hyperplane's dot-product sign CAN flip between group members — candidacy
+    * is probabilistic, not structural: in-group cosines are >= 0.999
+    * (θ/π <= 0.0143), so a pair misses a single 12-row band with p <=
+    * 1-(1-0.0143)^12 ≈ 0.159 and all 24 bands with p <= 0.159^24 < 1e-19 —
+    * negligible against the brute-force oracle, but a corpus/geometry change
+    * must re-derive this bound rather than assume near-exactness.
     * Output: (vec_id, nbr_id, rank), rank 1..k per vec_id.
     */
   def knnJoin(derived: DataFrame, threshold: Double = 0.95, k: Int = 3,

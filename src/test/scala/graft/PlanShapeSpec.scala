@@ -80,8 +80,13 @@ class PlanShapeSpec extends SparkTestBase {
     // insufficient) and every consumer must scan the SAME checkpointed RDD:
     // the plan shows multiple ExistingRDD scans and ZERO re-derivations of
     // the shingle explode (no Generate node above a documents scan).
+    // the checkpoint is size-aware (skipped below CheckpointMinBytesKey —
+    // test inputs are tiny); force it so the big-corpus plan shape is what
+    // this test pins
+    spark.conf.set(graft.ops.Dedup.CheckpointMinBytesKey, "0")
     spark.sharedState.cacheManager.clearCache()
-    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val df = try SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    finally spark.conf.unset(graft.ops.Dedup.CheckpointMinBytesKey)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
