@@ -66,6 +66,15 @@ object OpsEntries {
       val (idx, cents) = Similarity.materializedKmeansIndex(s, e, tag = dir)
       Similarity.ivfKmeansTopK(s, idx, cents, e)
     }),
+    // compressed ANN: int8 scalar-quantized residuals over the k-means
+    // coarse quantizer (the verdict's IVF-PQ item, int8-residual variant) —
+    // codes-only partition-pruned scan, integer asymmetric-distance
+    // candidate cut, exact re-rank of the survivors
+    "sim_ivf_sq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (idx, cents, scale) = Similarity.materializedSqIndex(s, e, tag = dir)
+      Similarity.ivfSqTopK(s, idx, cents, scale, e)
+    }),
     // ---- relational coverage -----------------------------------------------
     "q_agg_filter" -> ((s, dir) => Relational.aggFilter(s, dir)),
     "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
@@ -342,8 +351,16 @@ object OpsEntries {
     * within probed cells. Integer sums are order-independent, so the SQL
     * centroids are bit-identical to KMeans.train's.
     */
-  private val ivfKmeansTopKSql: String = {
-    val iters = 3
+  /** Shared CTE prefix of the trained-IVF oracles (sim_ivf_kmeans_topk and
+    * sim_ivf_sq_topk): the ENTIRE integer k-means loop unrolled in SQL —
+    * quantization floor(x*1000), per-iteration integer-Euclidean argmin
+    * assignment (d2 asc, cell_id asc) and floor-division centroid means
+    * (emptied cells keep their previous centroid) — plus the final
+    * assignment `af`, the quantized query `qq` and the 4-cell integer
+    * `probe`. Integer sums are order-independent, so the SQL centroids are
+    * bit-identical to KMeans.train's.
+    */
+  private def kmeansCtes(iters: Int): String = {
     // one Lloyd iteration: assign to c$i, update to c${i+1}
     def iteration(i: Int): String =
       s"""a$i AS (
@@ -365,7 +382,7 @@ object OpsEntries {
          |  FROM c${i - 1} p LEFT JOIN
          |    (SELECT cell_id, list(comp ORDER BY j) AS cv FROM u$i GROUP BY 1) n
          |  USING (cell_id))""".stripMargin
-    s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    s"""emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS (SELECT vec_id,
        |        list_transform(e, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
@@ -385,7 +402,11 @@ object OpsEntries {
        |  SELECT cell_id FROM c$iters, qq
        |  ORDER BY list_sum(list_transform(generate_series(1, len(qq.qv)),
        |    j -> (qq.qv[j] - cv[j]) * (qq.qv[j] - cv[j]))) ASC, cell_id ASC
-       |  LIMIT 4),
+       |  LIMIT 4)""".stripMargin
+  }
+
+  private val ivfKmeansTopKSql: String =
+    s"""WITH ${kmeansCtes(3)},
        |qe AS (SELECT e FROM emb WHERE vec_id = 0)
        |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
        |FROM (
@@ -395,7 +416,44 @@ object OpsEntries {
        |  FROM emb JOIN af ON emb.vec_id = af.vec_id, qe
        |  WHERE af.cell_id IN (SELECT cell_id FROM probe) AND emb.vec_id != 0)
        |QUALIFY rank <= 10""".stripMargin
-  }
+
+  /** Full-mechanics oracle for sim_ivf_sq_topk: the k-means prefix above,
+    * then the scalar-quantized index EXACTLY as materializedSqIndex builds
+    * it — integer residuals vs the final centroids, the global int8 step
+    * s = max(1, ceil(max|r|/127)), floor-division codes — the integer
+    * asymmetric-distance ranking within the probed cells, the top-`rerank`
+    * candidate cut (d2a asc, vec_id asc), and the exact double-cosine
+    * re-rank of the survivors. Every stage that decides the candidate set
+    * is integer arithmetic, so the relations agree bit-exactly.
+    */
+  private val ivfSqTopKSql: String =
+    s"""WITH ${kmeansCtes(3)},
+       |res AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |    list_transform(generate_series(1, len(q.qv)), j -> q.qv[j] - c.cv[j]) AS rv
+       |  FROM af a JOIN q USING (vec_id) JOIN c3 c USING (cell_id)),
+       |sc AS (SELECT greatest(1, CAST((m + 126) // 127 AS BIGINT)) AS s
+       |       FROM (SELECT max(list_max(list_transform(rv, x -> abs(x)))) AS m FROM res)),
+       |codes AS (
+       |  SELECT vec_id, cell_id,
+       |    list_transform(rv, r -> CAST((r - (((r % s) + s) % s)) / s AS BIGINT)) AS code
+       |  FROM res, sc),
+       |d2a AS (
+       |  SELECT cd.vec_id,
+       |    list_sum(list_transform(generate_series(1, len(qq.qv)),
+       |      j -> (qq.qv[j] - (ct.cv[j] + cd.code[j] * sc.s))
+       |         * (qq.qv[j] - (ct.cv[j] + cd.code[j] * sc.s)))) AS d2a
+       |  FROM codes cd JOIN c3 ct USING (cell_id), qq, sc
+       |  WHERE cd.cell_id IN (SELECT cell_id FROM probe) AND cd.vec_id != 0),
+       |cand AS (SELECT vec_id FROM d2a ORDER BY d2a ASC, vec_id ASC LIMIT 50),
+       |qe AS (SELECT e FROM emb WHERE vec_id = 0)
+       |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+       |FROM (
+       |  SELECT emb.vec_id,
+       |    list_dot_product(emb.e, qe.e) /
+       |      (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+       |  FROM emb JOIN cand USING (vec_id), qe)
+       |QUALIFY rank <= 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_tokens" ->
@@ -470,6 +528,7 @@ object OpsEntries {
         |QUALIFY rank <= 10""".stripMargin,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_kmeans_topk" -> ivfKmeansTopKSql,
+    "sim_ivf_sq_topk" -> ivfSqTopKSql,
     "sim_batch_topk" ->
       """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

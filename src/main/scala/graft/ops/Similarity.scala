@@ -228,6 +228,119 @@ object Similarity {
     }
   }
 
+  /** Compressed-index schema of [[materializedSqIndex]]: the residual CODES
+    * (one int8 per dimension) replace the raw `array<double>` embedding —
+    * 64-dim ≈ 76 B/vector logical (64×1 B codes + 8 B id + 4 B cell) vs
+    * ≈ 532 B raw, a 7× cut; at 10^12 rows that is the difference between an
+    * unscannable ~0.5 PB index and ~76 TB, partition-pruned to nProbe/nCells
+    * of it per query. Norms and raw embeddings are NOT stored — the exact
+    * re-rank fetches originals by id (see [[ivfSqTopK]]).
+    */
+  val sqIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("code", ArrayType(ByteType, containsNull = false), nullable = false),
+      StructField("cell_id", IntegerType, nullable = false)))
+  }
+
+  private val materializedSqIdx =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[(Int, Seq[Long])], Long)]
+
+  /** Build-once scalar-quantized (int8-residual) IVF index — the compressed
+    * variant of [[materializedKmeansIndex]], the standard public
+    * IVF+quantized-residual construction: coarse centroids from the integer
+    * Lloyd trainer, per-vector residual r = qv − centroid in the quantized
+    * integer space, one GLOBAL int8 step s = max(1, ceil(max|r| / 127))
+    * (one metadata-scale agg → a driver long), codes c_j = floor(r_j / s) ∈
+    * [−127, 127] by construction (|r_j| ≤ 127·s), stored as `array<tinyint>`
+    * partitioned by cell_id. Everything that decides a code is integer
+    * arithmetic, so the DuckDB oracle reproduces the index bit-exactly (same
+    * rationale as [[KMeans]]). Returns (indexDir, centroids, s); centroids +
+    * s are the driver-held probe/decode structure (k·d + 1 longs). Same
+    * revalidation discipline as [[materializedIndex]].
+    */
+  def materializedSqIndex(spark: SparkSession, embeddings: DataFrame,
+      tag: String, nCells: Int = 16, iters: Int = 3): (String, Seq[(Int, Seq[Long])], Long) = {
+    def valid(dir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    def build(): (String, Seq[(Int, Seq[Long])], Long) = {
+      val session = spark
+      import session.implicits._
+      val cents = KMeans.train(embeddings, nCells, iters)
+      val rel = prepared(embeddings).withColumn("qv", KMeans.quantize("emb"))
+      val assigned = KMeans.assignTo(rel, cents, carry = Seq("qv"))
+        .join(broadcast(cents.toDF("cell_id", "cv")), "cell_id")
+        .withColumn("rv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
+      // global max |residual component|: ONE aggregate collapsing to a
+      // driver long — metadata-scale, like the k-means centroid state
+      val maxAbs = assigned
+        .select(expr("aggregate(rv, 0L, (acc, x) -> greatest(acc, abs(x)))").as("m"))
+        .agg(max(col("m"))).head().getLong(0)
+      val s = math.max(1L, (maxAbs + 126L) / 127L)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sq-index").toString
+      assigned
+        // floor division via pmod (exact-multiple dividend), matching the
+        // oracle's ((r % s) + s) % s construction; |r| <= 127*s makes the
+        // result int8-safe without a clamp
+        .withColumn("code",
+          expr(s"cast(transform(rv, r -> (r - pmod(r, ${s}L)) div ${s}L) as array<tinyint>)"))
+        .select(col("vec_id"), col("code"), col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      (dir, cents, s)
+    }
+    val key = s"$tag/$nCells/$iters/sq-v$IndexVersion"
+    val cached = materializedSqIdx.getOrElseUpdate(key, build())
+    if (valid(cached._1)) cached
+    else {
+      val fresh = build()
+      materializedSqIdx.put(key, fresh)
+      fresh
+    }
+  }
+
+  /** ANN top-k over the compressed index: driver-side integer probe (zero
+    * Spark jobs, as [[ivfKmeansTopK]]), a partition-pruned scan of the CODES
+    * (the only per-vector data read), integer asymmetric-distance ranking
+    * d2a = Σ (qq_j − (cv_j + code_j·s))² against the decoded residuals, a
+    * distributed top-`rerank` (TakeOrderedAndProject — per-partition heaps,
+    * never a global sort), then an EXACT double-cosine re-rank of those
+    * `rerank` survivors against their original embeddings. The re-rank join
+    * broadcasts the candidate ids; at deployment the vector store is
+    * bucketed by vec_id so fetching `rerank` originals is a point-lookup
+    * read, not a scan (same discipline as [[queryVector]]). All ranking
+    * below the final cosine is integer → the DuckDB oracle replicates the
+    * full mechanics (training loop + codes + probe + re-rank).
+    * Output: (vec_id, rank), rank 1..k.
+    */
+  def ivfSqTopK(spark: SparkSession, indexDir: String,
+      cents: Seq[(Int, Seq[Long])], s: Long, embeddings: DataFrame,
+      queryVecId: Long = 0L, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val (qv, qn) = queryVector(embeddings, queryVecId)
+    val qq = KMeans.quantizeLocal(qv)
+    val probeIds = cents
+      .map { case (cid, cv) => (cid, KMeans.dist2Local(qq, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nProbe).map(_._1)
+    val idx = spark.read.schema(sqIndexSchema).parquet(indexDir)
+      .where(col("cell_id").isin(probeIds.map(x => x: Any): _*))
+      .where(col("vec_id") =!= queryVecId)
+      .join(broadcast(cents.toDF("cell_id", "cv")), "cell_id")
+      .withColumn("qq", typedLit(qq))
+      .withColumn("d2a", expr(
+        s"aggregate(zip_with(qq, zip_with(cv, code, (c, d) -> c + cast(d as bigint) * ${s}L), " +
+          "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+    val cands = idx.orderBy(col("d2a").asc, col("vec_id").asc).limit(rerank)
+      .select(col("vec_id"))
+    rankTopK(
+      prepared(embeddings).join(broadcast(cands), "vec_id")
+        .withColumn("qvv", typedLit(qv))
+        .withColumn("cos", dotProduct(col("emb"), col("qvv")) / (col("norm") * lit(qn))), k)
+  }
+
   /** IVF ANN top-k over the k-means index: ONE point lookup resolves the
     * query vector; the probe is a DRIVER-side integer distance sort over the
     * k local centroids (no job at all — the probe structure is k·d longs);

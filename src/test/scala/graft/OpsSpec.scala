@@ -245,6 +245,35 @@ class OpsSpec extends SparkTestBase {
     assert(kmRecall >= 0.6)
   }
 
+  test("sq-compressed IVF: int8 codes, exact re-rank preserves the uncompressed results") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (kmIdx, kmCents) = Similarity.materializedKmeansIndex(spark, e, tag = sf)
+    val (sqIdx, sqCents, s) = Similarity.materializedSqIndex(spark, e, tag = sf)
+    // same trainer, same seeds -> identical centroids (the compressed index
+    // changes only the per-vector payload, never the coarse quantizer)
+    assert(sqCents === kmCents)
+    // the stored payload really is int8: schema says tinyint, values are
+    // within the construction's [-127, 127] bound
+    val idx = spark.read.schema(Similarity.sqIndexSchema).parquet(sqIdx)
+    assert(idx.schema("code").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
+    val mm = idx.select(
+      expr("max(aggregate(code, -128, (a, x) -> greatest(a, cast(x as int))))"),
+      expr("min(aggregate(code, 128, (a, x) -> least(a, cast(x as int))))")).head()
+    assert(mm.getInt(0) <= 127 && mm.getInt(1) >= -127, s"codes out of int8 range: $mm")
+    info(s"int8 step s=$s; logical index payload = ${64 * 1} B codes vs ${64 * 8} B raw emb + 8 B norm")
+    // with rerank=50 exact re-ranking, the compressed index must recover
+    // (nearly) the uncompressed probed-cell top-10 — quantization may only
+    // perturb the CANDIDATE CUT, and 50 candidates for a top-10 leaves slack
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+    val km = top(Similarity.ivfKmeansTopK(spark, kmIdx, kmCents, e))
+    val sq = top(Similarity.ivfSqTopK(spark, sqIdx, sqCents, s, e))
+    val overlap = (km.map(_._1).toSet intersect sq.map(_._1).toSet).size
+    info(s"sq-vs-km recall@10 = ${overlap / 10.0}")
+    assert(overlap >= 9, s"compressed index lost the uncompressed results: km=$km sq=$sq")
+  }
+
   test("ivfTopK construction runs exactly 2 driver jobs: 1 vector lookup + 1 probe") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.materializedIndex(spark, e, tag = sf)
