@@ -231,28 +231,39 @@ object OpsEntries {
        |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM corpus c LEFT JOIN comp ON comp.d = c.doc_id""".stripMargin
 
+  /** Trigram-profile language scoring as CTEs over `rel`: lp = the profile
+    * VALUES (verbatim from TextOps.langProfiles — single source), tg = EVERY
+    * trigram occurrence of the '_'-padded lowercased text, lb = the winning
+    * (doc_id, mlang, score) per doc (score desc, lang asc). Shared by the
+    * text_langid and curate_corpus oracles.
+    */
+  private def langBestCtes(rel: String): String =
+    s"""lp(trigram, plang, w) AS (VALUES
+       |  ${TextOps.langProfiles.map { case (t, l, w) => s"('$t', '$l', $w)" }.mkString(", ")}),
+       |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(norm) - 2),
+       |         i -> substr(norm, i, 3))) AS trigram
+       |       FROM (SELECT doc_id, '_' || replace(lower(text), ' ', '_') || '_' AS norm FROM $rel)),
+       |lb AS (SELECT doc_id, plang AS mlang, score FROM (
+       |         SELECT doc_id, plang, sum(w) AS score
+       |         FROM tg JOIN lp USING (trigram) GROUP BY 1, 2)
+       |       QUALIFY row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, plang ASC) = 1)""".stripMargin
+
   /** Composition oracle for curate_corpus: the text_quality and text_langid
-    * mechanics (same stopword list / marker VALUES — single sources in
-    * TextOps), the exact integer/string gate, then the FULL dedup-decision
+    * mechanics (same stopword list / trigram-profile VALUES — single sources
+    * in TextOps), the exact integer/string gate, then the FULL dedup-decision
     * reachability construction over the gate's survivors; only each
     * cluster's keeper is emitted.
     */
   private val curateSql: String =
     s"""${corpusCte.replaceFirst("WITH corpus", "WITH RECURSIVE corpus")},
-       |markers(token, mlang) AS (VALUES
-       |  ${TextOps.langMarkers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")}),
        |st AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
        |         CAST(floor(10000.0 * (1.0 - 1.0 * ns / nt) * least(nt, 64) / 64.0) AS BIGINT) AS quality_e4
        |       FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
        |               len(list_filter(string_split(text, ' '),
        |                   t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns
        |             FROM corpus)),
-       |lb AS (SELECT doc_id, mlang FROM (
-       |         SELECT doc_id, mlang, count(*) AS score
-       |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus)
-       |         JOIN markers USING (token) GROUP BY 1, 2)
-       |       QUALIFY row_number() OVER (PARTITION BY doc_id
-       |         ORDER BY score DESC, mlang ASC) = 1),
+       |${langBestCtes("corpus")},
        |kept AS (SELECT c.doc_id, c.text, st.n_tokens, st.quality_e4,
        |                coalesce(lb.mlang, 'unknown') AS pred_lang
        |         FROM corpus c JOIN st USING (doc_id) LEFT JOIN lb USING (doc_id)
@@ -473,25 +484,17 @@ object OpsEntries {
          |            t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns,
          |        CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS sl
          |      FROM documents)""".stripMargin,
-    // full-mechanics langId oracle: the marker dictionary is embedded
-    // VERBATIM from TextOps.langMarkers (single source), the scoring is the
-    // same occurrence count + (score desc, lang asc) argmax
+    // full-mechanics langId oracle: the trigram profile table is embedded
+    // VERBATIM from TextOps.langProfiles (single source), the scoring is the
+    // same per-occurrence weight sum + (score desc, lang asc) argmax
     "text_langid" ->
-      s"""WITH markers(token, mlang) AS (VALUES
-         |  ${TextOps.langMarkers.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")}),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |best AS (
-         |  SELECT doc_id, mlang, score FROM (
-         |    SELECT doc_id, mlang, count(*) AS score
-         |    FROM tok JOIN markers USING (token) GROUP BY 1, 2)
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY score DESC, mlang ASC) = 1)
+      s"""WITH ${langBestCtes("documents")}
          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
          |  coalesce(b.mlang, 'unknown') AS pred_lang,
          |  CAST(coalesce(b.score, 0) AS BIGINT) AS score,
          |  CAST(CASE WHEN coalesce(b.mlang, 'unknown') = d.lang
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
-         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN lb b ON d.doc_id = b.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5,
         | CAST(list_sum(list_transform(string_split(text, ' '),

@@ -42,46 +42,83 @@ object TextOps {
         * least(nTok, lit(64L)) / 64.0).cast("long").as("quality_e4"))
   }
 
-  /** Marker dictionary for [[langId]]: (token, lang). Shared VERBATIM with
-    * the DuckDB oracle (OpsEntries embeds it as a VALUES list) — change both
-    * together. A real deployment swaps in a trained n-gram profile table
-    * through the same broadcast-join machinery; the harness corpus is
-    * synthetic filler (only 'the'/'a' occur), so prediction accuracy is not
-    * the point here — the distributed shape and the exact oracle are.
+  /** Character-trigram language profiles for [[langId]]: (trigram, lang,
+    * weight), the textcat / Cavnar–Trenkle construction compacted to the
+    * highest-signal boundary-marked trigrams of each language's function
+    * words and morphology (public linguistic knowledge; '_' marks a word
+    * boundary, texts are lowercased with spaces mapped to '_'). A production
+    * deployment swaps in machine-derived top-N profiles per language through
+    * the SAME relation shape — the table is data, not plan. Shared VERBATIM
+    * with the DuckDB oracles (OpsEntries embeds it as a VALUES list) —
+    * change both together. Unlike the earlier whole-token marker dictionary,
+    * trigrams fire on morphology inside words ("sch", "ung", "ión", "ing"),
+    * which is what gives the model discriminative power on natural text
+    * (OpsSpec: mixed-language fixture sentences classify correctly).
     */
-  val langMarkers: Seq[(String, String)] = Seq(
-    "the" -> "en", "a" -> "en", "of" -> "en", "and" -> "en", "is" -> "en",
-    "und" -> "de", "der" -> "de", "die" -> "de", "das" -> "de", "mit" -> "de",
-    "le" -> "fr", "la" -> "fr", "et" -> "fr", "les" -> "fr", "est" -> "fr",
-    "el" -> "es", "los" -> "es", "las" -> "es", "es" -> "es", "por" -> "es")
+  val langProfiles: Seq[(String, String, Int)] = Seq(
+    ("_th", "en", 5), ("the", "en", 5), ("he_", "en", 4), ("ing", "en", 4),
+    ("and", "en", 4), ("ng_", "en", 3), ("nd_", "en", 3), ("_of", "en", 3),
+    ("of_", "en", 3), ("ion", "en", 3), ("_to", "en", 3), ("_a_", "en", 3),
+    ("ed_", "en", 3), ("_an", "en", 2), ("to_", "en", 2), ("er_", "en", 2),
+    ("ent", "en", 2), ("_is", "en", 2), ("is_", "en", 2), ("at_", "en", 2),
+    ("on_", "en", 2), ("ere", "en", 2), ("ly_", "en", 2), ("wit", "en", 2),
+    ("ith", "en", 2), ("_wi", "en", 1), ("th_", "en", 1), ("es_", "en", 1),
+    ("re_", "en", 1), ("_be", "en", 1),
+    ("der", "de", 5), ("und", "de", 5), ("_de", "de", 4), ("ein", "de", 4),
+    ("sch", "de", 4), ("ich", "de", 4), ("die", "de", 4), ("ung", "de", 4),
+    ("_un", "de", 3), ("en_", "de", 3), ("nde", "de", 3), ("_di", "de", 3),
+    ("ie_", "de", 3), ("cht", "de", 3), ("das", "de", 3), ("mit", "de", 3),
+    ("gen", "de", 3), ("_ge", "de", 3), ("eit", "de", 3), ("_zu", "de", 3),
+    ("er_", "de", 3), ("ht_", "de", 2), ("ch_", "de", 2), ("_da", "de", 2),
+    ("_mi", "de", 2), ("it_", "de", 2), ("ben", "de", 2), ("ter", "de", 2),
+    ("ste", "de", 2), ("nen", "de", 2),
+    ("_le", "fr", 4), ("le_", "fr", 4), ("que", "fr", 4), ("_de", "fr", 4),
+    ("de_", "fr", 4), ("_qu", "fr", 3), ("ue_", "fr", 3), ("_et", "fr", 3),
+    ("et_", "fr", 3), ("_la", "fr", 3), ("la_", "fr", 3), ("les", "fr", 3),
+    ("ent", "fr", 3), ("nt_", "fr", 3), ("ion", "fr", 3), ("our", "fr", 3),
+    ("ais", "fr", 3), ("une", "fr", 3), ("ait", "fr", 3), ("est", "fr", 3),
+    ("ont", "fr", 3), ("es_", "fr", 3), ("ans", "fr", 2), ("ns_", "fr", 2),
+    ("eur", "fr", 2), ("ur_", "fr", 2), ("_pa", "fr", 2), ("re_", "fr", 2),
+    ("_un", "fr", 2), ("ne_", "fr", 2), ("tio", "fr", 2), ("men", "fr", 2),
+    ("_de", "es", 4), ("de_", "es", 4), ("_la", "es", 4), ("la_", "es", 3),
+    ("los", "es", 4), ("_lo", "es", 3), ("os_", "es", 4), ("_el", "es", 3),
+    ("el_", "es", 3), ("que", "es", 4), ("_qu", "es", 3), ("ue_", "es", 3),
+    ("as_", "es", 3), ("_en", "es", 2), ("en_", "es", 2), ("nte", "es", 2),
+    ("ado", "es", 3), ("_po", "es", 2), ("por", "es", 3), ("or_", "es", 2),
+    ("ión", "es", 3), ("_se", "es", 2), ("se_", "es", 2), ("ara", "es", 2),
+    ("_co", "es", 2), ("con", "es", 3), ("on_", "es", 2), ("ar_", "es", 2),
+    ("es_", "es", 2), ("sta", "es", 2))
 
-  /** Language-ID by broadcast marker-dictionary scoring: token occurrences
-    * join the broadcast markers table, per-(doc, lang) occurrence counts,
+  /** The trigram-profile argmax behind [[langId]], usable on any
+    * (doc_id, text) relation (the curation gate runs it over the derived
+    * dedup corpus, which has no `lang` column). Normalization: lowercase,
+    * spaces → '_', one '_' pad on each side; EVERY trigram occurrence scores
+    * (frequency matters — Cavnar–Trenkle), weights summed per (doc, lang),
     * then a min_by argmax (score desc, lang asc tie-break — an aggregation,
     * not a ranking window; same R11 rationale as the pipeline argmax). Docs
-    * hitting no marker predict 'unknown'. Scan → broadcast join → two
-    * hash-aggs: the shape that holds when both the corpus and the dictionary
-    * grow (a per-language exists() column would re-plan per dictionary
-    * change and stop scaling past a handful of languages).
-    */
-  /** The marker-scoring argmax behind [[langId]], usable on any
-    * (doc_id, text) relation (the curation gate runs it over the derived
-    * dedup corpus, which has no `lang` column). Docs hitting no marker are
-    * ABSENT — callers coalesce to 'unknown'. Output: (doc_id, pred_lang,
-    * score).
+    * hitting no profile trigram are ABSENT — callers coalesce to 'unknown'.
+    * Scan → explode → broadcast join → two hash-aggs: the shape that holds
+    * when both the corpus and the profile table grow (a per-language
+    * exists() column would re-plan per profile change and stop scaling past
+    * a handful of languages). Output: (doc_id, pred_lang, score).
     */
   def predLang(rel: DataFrame): DataFrame = {
     val session = rel.sparkSession
     import session.implicits._
-    val markers = langMarkers.toDF("token", "mlang")
-    rel.select(col("doc_id").cast("long").as("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      .join(broadcast(markers), "token")
-      .groupBy(col("doc_id"), col("mlang")).agg(count(lit(1)).as("score"))
+    val profiles = langProfiles.toDF("trigram", "plang", "w")
+    val norm = concat(lit("_"), translate(lower(col("text")), " ", "_"), lit("_"))
+    rel.select(col("doc_id").cast("long").as("doc_id"), norm.as("norm"))
+      // guard: sequence(1, n) DESCENDS for n < 1 (Spark default step -1);
+      // a sub-3-char norm must yield no trigrams, not an error
+      .select(col("doc_id"), explode(when(length(col("norm")) >= 3, expr(
+        "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
+        .otherwise(expr("cast(array() as array<string>)"))).as("trigram"))
+      .join(broadcast(profiles), "trigram")
+      .groupBy(col("doc_id"), col("plang")).agg(sum(col("w")).as("score"))
       .groupBy(col("doc_id"))
-      .agg(min_by(struct(col("mlang"), col("score")),
-        struct((-col("score")).as("ns"), col("mlang"))).as("b"))
-      .select(col("doc_id"), col("b.mlang").as("pred_lang"), col("b.score").as("score"))
+      .agg(min_by(struct(col("plang"), col("score")),
+        struct((-col("score")).as("ns"), col("plang"))).as("b"))
+      .select(col("doc_id"), col("b.plang").as("pred_lang"), col("b.score").as("score"))
   }
 
   def langId(docs: DataFrame): DataFrame = {
