@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.ops.{Dedup, Relational, Similarity, TextOps}
 
@@ -44,6 +45,18 @@ object OpsEntries {
       Dedup.dupClusters(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
+    // incremental dedup: base (6/7 of the corpus) is committed ONCE as
+    // signature-store state; the shard (1/7, including smaller-id docs that
+    // must take over as keepers) is folded in without any base-vs-base
+    // recomputation. Shares the from-scratch recursive-CTE oracle over the
+    // FULL corpus — the incremental decision must be indistinguishable.
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = Dedup.derivedCorpus(docs(s, dir))
+      val state = graft.ops.IncrementalDedup.materializedState(
+        s, corpus.where(pmod(col("doc_id"), lit(7)) =!= 0), tag = dir)
+      graft.ops.IncrementalDedup.incrementalClusters(
+        s, state, corpus.where(pmod(col("doc_id"), lit(7)) === 0))
+    }),
     // the compound curation pipeline: quality/language gate -> dedup
     // decision -> curated corpus (stage composition verified end-to-end)
     "curate_corpus" -> ((s, dir) => TextOps.curate(docs(s, dir))),
@@ -511,6 +524,8 @@ object OpsEntries {
     "dedup_minhash_lsh_16x2" -> minhashLsh16x2Sql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> dupClustersSql,
+    // same from-scratch oracle: incremental must be indistinguishable
+    "dedup_incremental" -> dupClustersSql,
     "curate_corpus" -> curateSql,
     "sim_knn_join" -> knnJoinSql,
     "dedup_embedding" ->

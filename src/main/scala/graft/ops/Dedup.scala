@@ -82,7 +82,7 @@ object Dedup {
     * sha-256 collision exists. Cost is one hash per DOCUMENT (not per
     * shingle) — noise next to the shingle-level md5 work.
     */
-  private def contentKey(text: Column): Column = sha2(text, 256)
+  private[graft] def contentKey(text: Column): Column = sha2(text, 256)
 
   /** Exact dedup: group by content hash, keep the smallest doc_id. */
   def exact(corpus: DataFrame): DataFrame = {
@@ -189,7 +189,7 @@ object Dedup {
     * row — the guard that keeps sub-n-token exact copies out of the pair
     * relations, matching the no-signature behavior of the uncollapsed plan).
     */
-  private def repShingleSizes(sh: DataFrame): DataFrame =
+  private[graft] def repShingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .select(col("doc_id").as("rep_id"), col("n"))
 
@@ -198,7 +198,7 @@ object Dedup {
     * Jaccard >= numer/denom; integer arithmetic only
     * (denom*common >= numer*union). Output: (a, b, common, union_).
     */
-  private def verifyJaccard(
+  private[graft] def verifyJaccard(
       cands: DataFrame, sh: DataFrame, numer: Int, denom: Int): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cands
@@ -337,8 +337,13 @@ object Dedup {
     * overwhelming probability). Package-private so OpsSpec can assert
     * linear candidate growth directly. Output: (a, b), a < b.
     */
-  private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int,
-      portable: Boolean, maxBucket: Int): DataFrame = {
+  /** The uncapped (doc_id, band, bucket) relation behind [[lshCandidates]]
+    * — also the signature STATE a committed corpus persists for
+    * [[IncrementalDedup]] (new shards band-join against it instead of
+    * re-signaturing the committed corpus).
+    */
+  private[graft] def bandBuckets(sh: DataFrame, bands: Int, rows: Int,
+      portable: Boolean): DataFrame = {
     val sigs = minhashSignaturesFrom(sh, bands * rows, portable)
     val bandCols: Seq[Column] = (0 until bands).map { b =>
       val slots = (0 until rows).map(r => col(s"h${rows * b + r}"))
@@ -347,15 +352,28 @@ object Dedup {
       val bucket = if (portable) concat_ws(":", slots: _*) else xxhash64(slots: _*).cast("string")
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    // bucket size as a window count over hashpartitioning(band, bucket) —
-    // the SAME distribution the candidate self-join needs, so the exchange
-    // is built once and reused rather than adding a shuffle
-    val w = Window.partitionBy(col("band"), col("bucket"))
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Hot-bucket cap over a (doc_id, band, bucket) relation: drop buckets
+    * with more than maxBucket members (window count over the join's own
+    * (band, bucket) exchange — no extra shuffle).
+    */
+  private[graft] def cappedBuckets(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    buckets
       .withColumn("bsz", count(lit(1)).over(w))
       .where(col("bsz") <= maxBucket)
       .drop("bsz")
+  }
+
+  private[graft] def lshCandidates(sh: DataFrame, bands: Int, rows: Int,
+      portable: Boolean, maxBucket: Int): DataFrame = {
+    // bucket size as a window count over hashpartitioning(band, bucket) —
+    // the SAME distribution the candidate self-join needs, so the exchange
+    // is built once and reused rather than adding a shuffle
+    val buckets = cappedBuckets(bandBuckets(sh, bands, rows, portable), maxBucket)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

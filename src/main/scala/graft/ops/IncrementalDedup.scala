@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental deduplication: given a COMMITTED deduped corpus and a newly
+  * arrived shard, compute the updated dedup DECISION over (base ∪ shard)
+  * without ever re-comparing base-vs-base — the job a real 100 TB pipeline
+  * runs daily, where from-scratch [[Dedup.dupClusters]] would re-pay the
+  * whole corpus's signature + candidate + verify cost for a shard that is a
+  * fraction of a percent of it.
+  *
+  * Committed STATE ([[commitState]], one parquet table per relation — at
+  * deployment these are the Iceberg tables the signature store already
+  * maintains):
+  *   - `reps/`    (rep_id, text, n_shingles) — one row per distinct text
+  *   - `members/` (doc_id, rep_id) — exact-group membership
+  *   - `buckets/` (rep_id, band, bucket) — the LSH signature index
+  *   - `pairs/`   (a, b) — the VERIFIED rep-level near-dup pair graph
+  *
+  * Incremental step ([[incrementalClusters]]):
+  *   1. exact-collapse the shard alone; shard groups whose text already
+  *      exists in base (sha2 content-key join) just JOIN the existing rep —
+  *      no new signatures, no new pairs (identical text ⇒ identical
+  *      everything).
+  *   2. genuinely new texts are shingled + signatured ALONE; their band
+  *      buckets join the UNION of stored + new buckets, and only pairs with
+  *      at least one NEW side survive — old-old candidates never form, and
+  *      verification shingles base texts ONLY for the reps that are
+  *      candidates with a new doc (semi-join on the candidate ids; proven
+  *      behaviorally by OpsSpec's corrupted-state test).
+  *   3. connected components run over stored pairs ∪ new pairs (the same
+  *      metadata-scale rep-level graph as from-scratch), and every doc's
+  *      keeper is the minimum doc_id of its cluster — computed from the
+  *      member relation, so a shard doc with a smaller id than its group's
+  *      committed rep correctly takes over as keeper.
+  *
+  * EQUALITY with from-scratch: the registered `dedup_incremental` query
+  * shares the from-scratch recursive-CTE oracle of `dedup_clusters` over
+  * the full corpus — same pairs, same clusters, same keepers. The one
+  * documented divergence: the hot-bucket cap is evaluated over the union
+  * bucket membership, so a bucket that was UNDER the cap when base
+  * committed but exceeds it after the shard arrives drops its new
+  * candidates, while pairs already verified from it stay committed —
+  * incremental dedup never un-discovers a pair (the default cap binds on no
+  * harness corpus, so the oracle equality is exact here).
+  */
+object IncrementalDedup {
+
+  /** Write the dedup state of `corpus` under `stateDir` (parquet subdirs).
+    * One collapse + one shingle pass + one signature pass + one capped
+    * candidate join + one verify — exactly the from-scratch derivation cost,
+    * paid ONCE at commit time.
+    */
+  def commitState(spark: SparkSession, corpus: DataFrame, stateDir: String,
+      numer: Int = 1, denom: Int = 2, bands: Int = 32, rows: Int = 1,
+      maxBucket: Int = 1000): Unit = {
+    val (reps, members) = Dedup.exactCollapse(corpus)
+    val sh = shinglesOf(reps)
+    val sizes = Dedup.repShingleSizes(sh)
+    reps.join(sizes, Seq("rep_id"), "left")
+      .select(col("rep_id"), col("text"),
+        coalesce(col("n"), lit(0L)).as("n_shingles"))
+      .write.mode("overwrite").parquet(s"$stateDir/reps")
+    members.write.mode("overwrite").parquet(s"$stateDir/members")
+    val buckets = Dedup.bandBuckets(sh, bands, rows, portable = false)
+      .withColumnRenamed("doc_id", "rep_id")
+    buckets.write.mode("overwrite").parquet(s"$stateDir/buckets")
+    val cands = Dedup.lshCandidates(sh, bands, rows, portable = false, maxBucket)
+    Dedup.verifyJaccard(cands, sh, numer, denom)
+      .select(col("a"), col("b"))
+      .write.mode("overwrite").parquet(s"$stateDir/pairs")
+  }
+
+  private def shinglesOf(reps: DataFrame): DataFrame =
+    Dedup.shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
+
+  /** The incremental decision over base-state ∪ shard.
+    * Output: (doc_id, keep_id, is_dup) for EVERY doc of base ∪ shard —
+    * row-for-row what [[Dedup.dupClusters]] computes from scratch on the
+    * union (modulo the cap-drift note above).
+    */
+  def incrementalClusters(spark: SparkSession, stateDir: String,
+      shard: DataFrame, numer: Int = 1, denom: Int = 2, bands: Int = 32,
+      rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    val bReps = spark.read.parquet(s"$stateDir/reps")
+    val bMembers = spark.read.parquet(s"$stateDir/members")
+    val bBuckets = spark.read.parquet(s"$stateDir/buckets")
+    val bPairs = spark.read.parquet(s"$stateDir/pairs")
+
+    // 1. collapse the shard alone, then split its groups by whether the
+    // text already exists in base (content-key equi-join — the same sha2
+    // identity the collapse itself uses)
+    val (sReps, sMembers) = Dedup.exactCollapse(shard)
+    val sKeyed = sReps.withColumn("gh", Dedup.contentKey(col("text")))
+    val bKeyed = bReps.select(col("rep_id").as("b_rep"), col("n_shingles"),
+      Dedup.contentKey(col("text")).as("gh"))
+    val matched = sKeyed.join(bKeyed, "gh")
+      .select(col("rep_id").as("s_rep"), col("b_rep"))
+    // shard members of a matched group become members of the EXISTING rep
+    val matchedMembers = sMembers
+      .join(matched.withColumnRenamed("s_rep", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("b_rep").as("rep_id"))
+    val newReps = sKeyed.join(matched.select(col("s_rep").as("rep_id")),
+      Seq("rep_id"), "left_anti").select(col("rep_id"), col("text"))
+    val newMembers = sMembers.join(newReps.select("rep_id"), Seq("rep_id"), "left_semi")
+
+    // 2. signatures + candidates for NEW texts only; the band join runs
+    // against stored ∪ new buckets, keeping only pairs with a new side
+    val newSh = shinglesOf(newReps)
+    val newSizes = Dedup.repShingleSizes(newSh)
+    val newBuckets = Dedup.bandBuckets(newSh, bands, rows, portable = false)
+      .withColumnRenamed("doc_id", "rep_id")
+    val allBuckets = Dedup.cappedBuckets(
+      bBuckets.withColumn("is_new", lit(false))
+        .unionByName(newBuckets.withColumn("is_new", lit(true))),
+      maxBucket)
+    val cands = allBuckets.as("x").join(allBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.rep_id") < col("y.rep_id") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.rep_id").as("a"), col("y.rep_id").as("b"))
+      .distinct()
+    // verify needs shingle sets for both sides: new reps have them already;
+    // base reps are shingled ONLY if they are candidates (semi-join) — the
+    // base corpus is never re-derived wholesale
+    val candIds = cands.select(col("a").as("rep_id"))
+      .unionByName(cands.select(col("b").as("rep_id"))).distinct()
+    val baseCandSh = shinglesOf(
+      bReps.join(candIds, Seq("rep_id"), "left_semi").select("rep_id", "text"))
+    val verifySh = newSh.unionByName(baseCandSh)
+    val newPairs = Dedup.verifyJaccard(cands, verifySh, numer, denom)
+      .select(col("a"), col("b"))
+
+    // 3. CC over the stored ∪ new pair graph; keeper = min member doc_id of
+    // the cluster (NOT the stored rep id — a smaller-id shard doc in a
+    // matched group must take over as keeper, matching from-scratch)
+    val comps = graft.kg.canon.ConnectedComponents
+      .run(bPairs.unionByName(newPairs)
+        .select(col("a").as("src"), col("b").as("dst")))
+      .select(col("node").as("rep_id"), col("component"))
+    val allMembers = bMembers.unionByName(matchedMembers).unionByName(newMembers)
+    val repN = bReps.select(col("rep_id"), col("n_shingles"))
+      .unionByName(newReps.join(newSizes, Seq("rep_id"), "left")
+        .select(col("rep_id"), coalesce(col("n"), lit(0L)).as("n_shingles")))
+    val withCluster = allMembers
+      .join(repN, "rep_id")
+      .join(comps, Seq("rep_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("rep_id")))
+    val clusterMin = withCluster.where(col("n_shingles") > 0)
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("cluster_keep"))
+    withCluster
+      .join(clusterMin, Seq("cluster"), "left")
+      .select(col("doc_id"),
+        // zero-shingle groups: every member keeps itself (mirrors the
+        // pair operators' no-signature behavior and the oracle)
+        when(col("n_shingles") > 0, col("cluster_keep"))
+          .otherwise(col("doc_id")).as("keep_id"))
+      .select(col("doc_id"), col("keep_id"),
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
+  }
+
+  /** Bump when the state layout or mechanics change. */
+  val StateVersion: Int = 1
+
+  private val materializedStates = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build-once committed state for a base corpus (per JVM, keyed by `tag` +
+    * [[StateVersion]], revalidated like the ANN indexes — the registered
+    * query commits the base ONCE and every run afterwards pays only the
+    * incremental cost).
+    */
+  def materializedState(spark: SparkSession, base: DataFrame, tag: String): String = {
+    def valid(dir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "pairs", "_SUCCESS"))
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-state").toString
+      commitState(spark, base, dir)
+      dir
+    }
+    val key = s"$tag/v$StateVersion"
+    val cached = materializedStates.getOrElseUpdate(key, build())
+    if (valid(cached)) cached
+    else {
+      val fresh = build()
+      materializedStates.put(key, fresh)
+      fresh
+    }
+  }
+}

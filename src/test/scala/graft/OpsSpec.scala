@@ -343,6 +343,54 @@ class OpsSpec extends SparkTestBase {
     assert(acc === 4L)
   }
 
+  test("incremental dedup == from-scratch decision over base ∪ shard") {
+    import java.nio.file.Files
+    import graft.ops.IncrementalDedup
+    // the %7 shard includes doc 0 — whose text is committed in base under
+    // rep 2000000 (its exact copy) — so the smaller-id-takeover path runs
+    val base = corpus.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val shard = corpus.where(pmod(col("doc_id"), lit(7)) === 0)
+    val dir = Files.createTempDirectory("graft-inc-eq").toString
+    IncrementalDedup.commitState(spark, base, dir)
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(IncrementalDedup.incrementalClusters(spark, dir, shard))
+    val scratch = rows(Dedup.dupClusters(corpus))
+    assert(inc == scratch,
+      s"missing=${(scratch -- inc).take(5)} spurious=${(inc -- scratch).take(5)}")
+  }
+
+  test("incremental dedup: committed texts are never re-processed (corrupted-state proof)") {
+    import java.nio.file.Files
+    import graft.ops.IncrementalDedup
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-inc-state").toString
+    IncrementalDedup.commitState(spark, corpus, dir)
+    // a shard of genuinely novel texts: no exact match, no near-dup, so NO
+    // committed doc legitimately needs its text re-read
+    val shard = (0 until 40).map(i =>
+      (9000000L + i, (0 until 6).map(j => s"zq${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val intact = rows(IncrementalDedup.incrementalClusters(spark, dir, shard))
+    assert(intact == rows(Dedup.dupClusters(corpus.unionByName(shard))))
+    // corrupt EVERY committed text in the state: any wholesale re-derivation
+    // of base shingles/signatures/pairs would observe the corruption and
+    // change the decision — result-identity proves old-old work is never
+    // redone (stray band collisions may shingle a corrupted candidate text,
+    // but its verify then drops exactly as the intact J<0.5 pair would)
+    val dir2 = Files.createTempDirectory("graft-inc-corrupt").toString
+    for (sub <- Seq("members", "buckets", "pairs"))
+      spark.read.parquet(s"$dir/$sub").write.parquet(s"$dir2/$sub")
+    spark.read.parquet(s"$dir/reps")
+      .withColumn("text", concat(lit("zz"), col("rep_id").cast("string")))
+      .write.parquet(s"$dir2/reps")
+    val corrupted = rows(IncrementalDedup.incrementalClusters(spark, dir2, shard))
+    assert(corrupted == intact)
+  }
+
   test("exact dedup flags exactly the planted copies") {
     val d = Dedup.exact(corpus)
     val dups = d.where(col("is_dup") === 1)
