@@ -34,9 +34,10 @@ object StreamingIngest {
     * documents; state = one boolean per key). This is the custom-state
     * surface (`KeyValueGroupedDataset.flatMapGroupsWithState`) the streaming
     * checklist asks for — the KG batch path itself stays anti-join resume
-    * per BASELINE.json:14. At scale, put a TTL on the state
-    * (GroupStateTimeout.ProcessingTimeTimeout) and back it with the exact
-    * md5 key of [[graft.ops.Dedup.exact]] instead of the raw id.
+    * per BASELINE.json:14. This unbounded variant is the demo shape; the
+    * scale path is [[firstSeenDocsTtl]] (event-time TTL eviction, bounded
+    * state envelope), keyed at deployment by the content hash of
+    * [[graft.ops.Dedup.exact]] instead of the raw id.
     */
   def firstSeenDocs(postings: DataFrame): Dataset[String] = {
     val spark = postings.sparkSession
@@ -49,6 +50,57 @@ object StreamingIngest {
           else { state.update(true); Iterator.single(id) }
       }
   }
+
+  /** [[firstSeenDocs]] with BOUNDED state: per-key TTL via event-time
+    * timeout. At a 10^12-key domain, unbounded first-seen state is a
+    * non-starter (~10^12 × (key + overhead) ≈ tens of TB of state store);
+    * with a TTL the state envelope is (keys arriving per TTL window) ×
+    * ~(key bytes + timestamp) — the re-ship window of a real ingest feed is
+    * hours-to-days, not forever, so the TTL trades exactly the
+    * already-negligible "re-ship after the window" dups for a bounded store
+    * (and the downstream batch dedup catches stragglers anyway).
+    *
+    * Mechanics: watermark on ingest_ts; each key's timeout is re-armed at
+    * maxEventTime + ttl on every arrival; when the watermark passes it,
+    * Spark invokes the function with hasTimedOut=true (no data) and the
+    * state is REMOVED — a later re-arrival of the key is emitted again
+    * (StreamingSpec pins both the eviction and the re-emission).
+    */
+  def firstSeenDocsTtl(postings: DataFrame, ttlMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[String] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.select(col("doc_id"), col("ingest_ts"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val maxTs = rows.map(_._2.getTime).max
+            val first = !state.exists
+            state.update(true)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            if (first) Iterator.single(id) else Iterator.empty
+          }
+      }
+  }
+
+  /** Drive [[firstSeenDocsTtl]] over a parquet dir stream into a memory
+    * sink.
+    */
+  def runFirstSeenTtl(spark: SparkSession, dir: String, schema: StructType,
+      name: String, ttlMs: Long): StreamingQuery =
+    firstSeenDocsTtl(spark.readStream.schema(schema).parquet(dir), ttlMs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
 
   /** Drive [[firstSeenDocs]] over a parquet dir stream into a memory sink. */
   def runFirstSeen(

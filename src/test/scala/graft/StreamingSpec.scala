@@ -55,4 +55,35 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.length == 500, s"expected 500 unique docs, got ${emitted.length}")
     assert(emitted.toSet.size == 500, "a doc_id was emitted more than once")
   }
+
+  test("TTL-bounded first-seen state: expired keys are evicted and re-arrivals re-emit") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ttl").toString
+    def ts(minutes: Int) =
+      new java.sql.Timestamp(java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+        + minutes * 60000L)
+    def write(rows: (String, Int)*): Unit =
+      rows.map { case (id, m) => (id, ts(m)) }.toDF("doc_id", "ingest_ts")
+        .write.mode("append").parquet(dir)
+    write(("A", 0), ("B", 0))
+    val schema = spark.read.parquet(dir).schema
+    // ttl = 30 min, watermark delay = 10 min
+    val q = StreamingIngest.runFirstSeenTtl(spark, dir, schema, "first_seen_ttl",
+      ttlMs = 30 * 60000L)
+    try {
+      q.processAllAvailable()                    // b1: A, B emitted
+      write(("A", 1), ("C", 60)); q.processAllAvailable()
+      // b2: A re-shipped INSIDE the ttl -> suppressed; C emitted; the
+      // watermark now derives from t=60
+      write(("D", 61)); q.processAllAvailable()
+      // b3: watermark (60 - 10 = 50 min) has passed A/B's timeout
+      // (1 + 30 = 31 min) -> their state is removed this batch; D emitted
+      write(("A", 62)); q.processAllAvailable()
+      // b4: A's state is GONE -> re-emitted
+    } finally q.stop()
+    val emitted = spark.table("first_seen_ttl").collect().map(_.getString(0)).toSeq
+    assert(emitted.sorted == Seq("A", "A", "B", "C", "D"),
+      s"expected A,B,C,D + one post-TTL re-emission of A, got $emitted")
+  }
 }
