@@ -45,19 +45,31 @@ object ScalingBench {
       // shuffle is cheap.
       .repartition(partitions, col("doc_id"))
 
-  /** Web-mix dedup stress corpus: each source doc replicated `repl` ways —
-    * per replica r: r%10==0 exact copy (exercises the exact-collapse),
-    * r%10==1 near-dup (ONE token replaced → trigram J ≈ 0.9, exercises LSH
-    * candidate generation + verify), else unique (EVERY 3rd token replaced
-    * with a replica-tagged token — every trigram then contains a replaced
-    * position, so unique replicas share NO shingles with anything: J = 0).
-    * 10/10/80 dup mix, duplicate clusters of ~repl/5 docs — the shape
+  /** Replica block size of [[dedupStressCorpus]]: each block of `FamilyBlock`
+    * replicas is an INDEPENDENT duplicate family, so duplicate-cluster sizes
+    * are CONSTANT (20 exact + 20 near-dup members) no matter how large
+    * `repl` grows — growing the corpus adds families, it does not inflate
+    * clusters. Without this, near-dup replicas of one base doc all derive
+    * from the same text and pair with EACH OTHER: the verified-pair graph
+    * grows as repl² (measured: repl 200→600 took local[8] 170→863 s, 5.1×
+    * wall for 3× docs) — a corpus artifact the real web's bounded duplicate
+    * clusters don't have, and one that breaks the "grow input, amortize
+    * stage boundaries" scaling experiment the N→4N evidence needs.
+    */
+  val FamilyBlock: Int = 200
+
+  /** Web-mix dedup stress corpus: each source doc replicated `repl` ways in
+    * independent families of [[FamilyBlock]] — family canonical text = the
+    * source text with every 3rd token family-tagged (families share no
+    * shingles: every trigram crosses a tagged position); per replica within
+    * its family: rb%10==0 exact copy of the family text (exercises the
+    * exact-collapse), rb%10==1 near-dup (ONE token replaced → trigram
+    * J ≈ 0.9, exercises LSH candidate generation + verify), else unique
+    * (every 3rd token replica-tagged → J = 0 to everything). 10/10/80 dup
+    * mix, duplicate clusters of 40 docs regardless of repl — the shape
     * [[graft.ops.Dedup.dupClusters]] must scale on. (An earlier variant
     * replaced every 5th token, leaving same-base uniques at J ≈ 0.25 to each
-    * other — per-base near-threshold cliques whose pair count grows as
-    * repl², a quadratic the real web's unrelated unique docs don't have;
-    * it showed up as superlinear wall time and was a corpus artifact, not an
-    * operator cost.)
+    * other — the same repl² clique artifact described at [[FamilyBlock]].)
     */
   def dedupStressCorpus(spark: SparkSession, sfDir: String, repl: Int,
       partitions: Int): DataFrame =
@@ -65,14 +77,22 @@ object ScalingBench {
       .select(col("doc_id"), col("text"))
       .withColumn("r", explode(sequence(lit(0), lit(repl - 1))))
       .select((col("doc_id") * repl + col("r")).as("doc_id"), col("r"), col("text"))
+      .withColumn("f", expr(s"r div $FamilyBlock"))
+      .withColumn("rb", expr(s"r % $FamilyBlock"))
+      // family canonical text (f = 0 keeps the source text, so repl <= 200
+      // reproduces the earlier corpus exactly)
+      .withColumn("text", when(col("f") === 0, col("text")).otherwise(expr(
+        "array_join(transform(split(text, ' '), (t, i) -> " +
+          "case when i % 3 = 0 then concat('f', cast(f as string), 'x', cast(i as string)) " +
+          "else t end), ' ')")))
       .withColumn("text",
-        when(col("r") % 10 === 0, col("text"))
+        when(col("rb") % 10 === 0, col("text"))
           // replaced index capped by the doc's own token count so EVERY
-          // near-dup replica differs from its base (pmod(r, 41) alone left
+          // near-dup replica differs from its base (pmod(rb, 41) alone left
           // short docs unmodified — exact copies mislabeled as near-dups)
-          .when(col("r") % 10 === 1, expr(
+          .when(col("rb") % 10 === 1, expr(
             "array_join(transform(split(text, ' '), (t, i) -> " +
-              "case when i = pmod(r, least(41, size(split(text, ' ')))) " +
+              "case when i = pmod(rb, least(41, size(split(text, ' ')))) " +
               "then concat('nd', cast(r as string)) " +
               "else t end), ' ')"))
           .otherwise(expr(
@@ -128,9 +148,9 @@ object ScalingBench {
       // methodology as the KG phase; same cached deterministic input.
       def corpusDirFor(r: Int): String = {
         val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-        // v3: near-dup replacement index capped by token count (see
-        // dedupStressCorpus) — a v2 cache must not be reused
-        val dir = s"/tmp/graft-dedupcorpus-$tag-x$r-v3"
+        // v4: family-block structure (constant cluster sizes under repl
+        // growth) + near-dup index cap — older caches must not be reused
+        val dir = s"/tmp/graft-dedupcorpus-$tag-x$r-v4"
         val target = java.nio.file.Paths.get(dir)
         if (!Files.exists(target.resolve("_SUCCESS"))) {
           val tmp = Files.createTempDirectory(target.getParent, "graft-dedupcorpus-build")

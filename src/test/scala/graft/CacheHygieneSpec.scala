@@ -14,7 +14,8 @@ class CacheHygieneSpec extends SparkTestBase {
     spark.sharedState.cacheManager.clearCache()
     for (name <- Seq("dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_minhash_lsh_16x2", "dedup_simhash", "dedup_clusters",
-        "dedup_embedding", "curate_corpus", "sim_knn_join", "kg_skills_salted")) {
+        "dedup_incremental", "dedup_embedding", "curate_corpus",
+        "sim_knn_join", "sim_ivf_sq_topk", "kg_skills_salted")) {
       SparkEntry.queries(name)(spark, sf).count()
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$name left persisted plans in the cache manager")
