@@ -52,7 +52,8 @@ import graft.kg.expr.VectorExprs.{dotProduct, l2Norm}
   * shingle/signature relations are materialized exactly once via
   * [[materializedOnce]] (localCheckpoint — evictable block storage,
   * auto-released by the ContextCleaner; see its scaladoc for why
-  * ReuseExchange alone was measured insufficient). CacheHygieneSpec asserts
+  * ReuseExchange alone was measured insufficient, and for the size-aware
+  * skip below which the checkpoint is pure overhead). CacheHygieneSpec asserts
   * the cache manager stays empty after every dedup action, so library
   * callers cannot leak cached plans.
   */

@@ -55,8 +55,18 @@ object IncrementalDedup {
   def commitState(spark: SparkSession, corpus: DataFrame, stateDir: String,
       numer: Int = 1, denom: Int = 2, bands: Int = 32, rows: Int = 1,
       maxBucket: Int = 1000): Unit = {
-    val (reps, members) = Dedup.exactCollapse(corpus)
-    val sh = shinglesOf(reps)
+    // the commit is FOUR write actions over shared derivations (reps feeds
+    // three of them, shingles two + the verify) — materialize both once,
+    // unconditionally: unlike the query-side size-aware skip, multi-action
+    // reuse is impossible for ReuseExchange at ANY size (measured at sf0.1:
+    // the un-checkpointed commit re-derived collapse+shingles per action,
+    // ~29 s vs ~20 s for the whole dedup_incremental query)
+    def pinned(df: DataFrame): DataFrame =
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (rawReps, members0) = Dedup.exactCollapse(corpus)
+    val reps = pinned(rawReps)
+    val members = members0
+    val sh = pinned(shinglesOf(reps))
     val sizes = Dedup.repShingleSizes(sh)
     reps.join(sizes, Seq("rep_id"), "left")
       .select(col("rep_id"), col("text"),
