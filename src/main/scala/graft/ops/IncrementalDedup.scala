@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   *      member relation, so a shard doc with a smaller id than its group's
   *      committed rep correctly takes over as keeper.
   *
+  * Deployment shape notes: (a) the stored `buckets/` table should be
+  * table-partitioned/bucketed by (band, bucket) so the shard's candidate
+  * probe is a co-located join, not a full shuffle of the signature store;
+  * (b) the hot-bucket cap here re-counts bucket membership over stored ∪
+  * new (one pass over the bucket index) — a production store maintains
+  * per-bucket counts incrementally and turns that into a metadata read.
+  *
   * EQUALITY with from-scratch: the registered `dedup_incremental` query
   * shares the from-scratch recursive-CTE oracle of `dedup_clusters` over
   * the full corpus — same pairs, same clusters, same keepers. The one
