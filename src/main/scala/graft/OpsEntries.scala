@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod}
 
-import graft.ops.{Dedup, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Relational, Sampling, Search, Similarity, TextOps}
 
 /** Training-data-pipeline + relational-coverage queries and their DuckDB
   * oracles (merged into SparkEntry.queries / oracleSql).
@@ -23,6 +23,9 @@ object OpsEntries {
     "text_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir)).select("doc_id", "md5", "rolling")),
+    // integer BM25 keyword retrieval: one corpus scan, HOF-filter tf,
+    // broadcast df + corpus stats, TakeOrderedAndProject top-k
+    "text_bm25_topk" -> ((s, dir) => Search.bm25TopK(docs(s, dir))),
     // ---- dedup -------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -60,6 +63,11 @@ object OpsEntries {
     // the compound curation pipeline: quality/language gate -> dedup
     // decision -> curated corpus (stage composition verified end-to-end)
     "curate_corpus" -> ((s, dir) => TextOps.curate(docs(s, dir))),
+    // deterministic data-mixing: rate-based stratified Bernoulli (map-side
+    // portable-hash filter) and exact-k-per-stratum bottom-k (two-level
+    // salted ranking — no single task sorts a whole stratum)
+    "curate_sample" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
+    "curate_sample_topk" -> ((s, dir) => Sampling.stratifiedTopK(docs(s, dir))),
     // ---- similarity search -------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     // all-pairs thresholded k-NN join: sign-band LSH blocking + two-level
@@ -479,7 +487,56 @@ object OpsEntries {
        |  FROM emb JOIN cand USING (vec_id), qe)
        |QUALIFY rank <= 10""".stripMargin
 
+  /** Sampling-bucket CTE shared by the curate_sample oracles: the IDENTICAL
+    * salted md5 → 60-bit integer → mod 10⁴ construction as
+    * [[Sampling.bucket]] (duckHash60 mirrors Spark's conv-of-md5 exactly).
+    */
+  private val sampleBucketCte: String =
+    s"""b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |  ${duckHash60("'smp:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+       |  FROM documents)""".stripMargin
+
+  /** Full-mechanics oracle for text_bm25_topk: same integer BM25 restatement
+    * (rational odds-idf, single floor-division per term — Spark `div` ==
+    * DuckDB `//` on positives), terms embedded verbatim from
+    * [[Search.defaultTerms]] (single source).
+    */
+  private val bm25Sql: String = {
+    val termList = Search.defaultTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |                     string_split(text, ' ') AS ts FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 CAST(sum(len(ts)) AS BIGINT) AS a FROM base),
+       |tf AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, q.term,
+       |         CAST(len(list_filter(ts, x -> x = q.term)) AS BIGINT) AS tf
+       |       FROM base, (SELECT unnest([$termList]) AS term) q),
+       |fq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |       WHERE tf > 0 GROUP BY 1),
+       |sc AS (SELECT f.doc_id,
+       |         (10000 * (2*s.n - 2*d.df + 1) * 22 * f.tf * s.a) //
+       |         ((2*d.df + 1) * (10*f.tf*s.a + 3*s.a + 9*f.dl*s.n)) AS sc
+       |       FROM tf f JOIN fq d USING (term) CROSS JOIN stats s WHERE f.tf > 0)
+       |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score_e4,
+       |       CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY 1
+       |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25Sql,
+    // rates embedded verbatim from Sampling.defaultRates (single source)
+    "curate_sample" ->
+      s"""WITH r(lang, rate_e4) AS (VALUES
+         |  ${Sampling.defaultRates.map { case (l, v) => s"('$l', $v)" }.mkString(", ")}),
+         |$sampleBucketCte
+         |SELECT b.doc_id, b.lang, CAST(b.bucket AS BIGINT) AS bucket
+         |FROM b JOIN r USING (lang) WHERE b.bucket < r.rate_e4""".stripMargin,
+    "curate_sample_topk" ->
+      s"""WITH $sampleBucketCte
+         |SELECT doc_id, lang,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |         ORDER BY bucket ASC, doc_id ASC) AS BIGINT) AS rank
+         |FROM b QUALIFY rank <= 40""".stripMargin,
     "text_tokens" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, Search}
+
+/** Unit coverage for the data-mixing samplers and integer-BM25 retrieval
+  * (their sf0.01 DuckDB oracles are the end-to-end gate; these tests pin the
+  * hand-computable semantics and the scale-relevant plan shapes).
+  */
+class SamplingSearchSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("bm25TopK: hand-computed integer scores, idf reorders, no-match docs absent") {
+    import spark.implicits._
+    // N=4 docs, A=8 tokens, dl=2 each; df(dup)=1, df(spark)=2, df(join)=0
+    val corpus = Seq(
+      (1L, "dup x"), (2L, "spark x"), (3L, "spark y"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val rows = Search.bm25TopK(corpus, Seq("dup", "spark", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1: (1e4·(2·4−2·1+1)·22·1·8) div ((2·1+1)·(10·1·8+3·8+9·2·4)) = 23333
+    // doc2/3: (1e4·5·22·8) div (5·176) = 10000 — the rare term outranks
+    // the common one at identical tf/dl, which is idf doing its job
+    assert(rows === Seq((1L, 23333L, 1L), (2L, 10000L, 1L), (3L, 10000L, 1L)))
+  }
+
+  test("bm25TopK: top-k ordering is (score desc, doc_id asc) and k bounds the output") {
+    val out = Search.bm25TopK(docs, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 7)
+    assert(out.sliding(2).forall { case Array((d1, s1), (d2, s2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+  }
+
+  test("stratifiedSample: deterministic, rate-bounded, unknown langs dropped") {
+    val a = Sampling.stratifiedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Sampling.stratifiedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b) // re-runs select the SAME rows — no RNG state
+    val rates = Sampling.defaultRates.toMap
+    assert(a.nonEmpty)
+    assert(a.forall { case (_, lang, bucket) =>
+      bucket >= 0 && bucket < rates(lang) })
+    // a restricted rate table drops the other strata entirely
+    val enOnly = Sampling.stratifiedSample(docs, Seq(("en", 5000L))).collect()
+    assert(enOnly.nonEmpty && enOnly.forall(_.getString(1) == "en"))
+  }
+
+  test("stratifiedSample plan is map-side: broadcast join, zero shuffle exchanges") {
+    val p = Sampling.stratifiedSample(docs).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle the corpus:\n$p")
+  }
+
+  test("stratifiedTopK == unsalted single-window reference ranking") {
+    val salted = Sampling.stratifiedTopK(docs, k = 15, salts = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val withB = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10000L)
+    val w = Window.partitionBy(col("lang")).orderBy(col("bucket").asc, col("doc_id").asc)
+    val ref = withB.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 15)
+      .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted === ref)
+  }
+}
