@@ -26,6 +26,10 @@ object OpsEntries {
     // integer BM25 keyword retrieval: one corpus scan, HOF-filter tf,
     // broadcast df + corpus stats, TakeOrderedAndProject top-k
     "text_bm25_topk" -> ((s, dir) => Search.bm25TopK(docs(s, dir))),
+    // Gopher-style repetition signals (dup-token + top-bigram fractions)
+    "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
+    // eval-set n-gram containment decontamination (broadcast eval shingles)
+    "curate_decontaminate" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
     // ---- dedup -------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -524,6 +528,35 @@ object OpsEntries {
 
   val oracleSql: Map[String, String] = Map(
     "text_bm25_topk" -> bm25Sql,
+    "text_repetition" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                     string_split(text, ' ') AS ts FROM documents),
+        |st AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt,
+        |              CAST(len(list_distinct(ts)) AS BIGINT) AS nd FROM base),
+        |bg AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS b
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM base)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n FROM bc GROUP BY 1)
+        |SELECT st.doc_id, st.nt AS n_tokens,
+        |  CAST(floor(10000.0 * (st.nt - st.nd) / st.nt) AS BIGINT) AS dup_token_ratio_e4,
+        |  CAST(coalesce(tb.top_n, 0) AS BIGINT) AS top_bigram_n,
+        |  CAST(CASE WHEN st.nt > 1
+        |       THEN floor(10000.0 * coalesce(tb.top_n, 0) / (st.nt - 1))
+        |       ELSE 0 END AS BIGINT) AS top_bigram_ratio_e4
+        |FROM st LEFT JOIN tb USING (doc_id)""".stripMargin,
+    // same distinct-5-gram relation on both sides; eval slice = doc_id % 97 = 3;
+    // flag at >= 50% containment of the eval doc's shingles
+    "curate_decontaminate" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                     string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS s
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i FROM base)),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 3),
+        |en AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_n FROM ev GROUP BY 1),
+        |cm AS (SELECT x.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS common
+        |       FROM sh x JOIN ev e ON x.s = e.s GROUP BY 1, 2)
+        |SELECT cm.doc_id, cm.eval_id, cm.common, en.eval_n
+        |FROM cm JOIN en USING (eval_id) WHERE cm.common * 2 >= en.eval_n""".stripMargin,
     // rates embedded verbatim from Sampling.defaultRates (single source)
     "curate_sample" ->
       s"""WITH r(lang, rate_e4) AS (VALUES

@@ -145,6 +145,72 @@ object TextOps {
         "cast(0 as bigint), (acc, x) -> acc + x)") % 1000000007L).as("rolling"),
       xxhash64(col("text")).as("xx64"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, public quality
+    * heuristics): duplicate-token fraction and the most-frequent-bigram
+    * fraction — the cheap per-doc filters that catch boilerplate and
+    * degenerate repetition before any pairwise dedup runs. Fixed-point e4
+    * like [[quality]] (single exact-integer division per ratio — the
+    * cross-engine-safe pattern). Shape: distinct-token stats are per-row
+    * expressions (no shuffle); the top-bigram count is explode → two
+    * hash-aggs keyed by (doc_id, bigram) — fully partial-aggregatable, the
+    * same shape as [[predLang]]. Docs with < 2 tokens have no bigram: left
+    * join, ratio 0.
+    * Output: (doc_id, n_tokens, dup_token_ratio_e4, top_bigram_n,
+    * top_bigram_ratio_e4).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("ts"))
+    val st = base.select(col("doc_id"), size(col("ts")).cast("long").as("nt"),
+      size(array_distinct(col("ts"))).cast("long").as("nd"))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2, expr(
+        "transform(sequence(1, size(ts) - 1), i -> array_join(slice(ts, i, 2), ' '))"))
+        .otherwise(expr("cast(array() as array<string>)"))).as("b"))
+    val top = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_n"))
+    st.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        floor(lit(10000.0) * (col("nt") - col("nd")) / col("nt"))
+          .cast("long").as("dup_token_ratio_e4"),
+        coalesce(col("top_n"), lit(0L)).as("top_bigram_n"),
+        when(col("nt") > 1,
+          floor(lit(10000.0) * coalesce(col("top_n"), lit(0L)) / (col("nt") - 1)))
+          .otherwise(lit(0L)).cast("long").as("top_bigram_ratio_e4"))
+  }
+
+  /** Eval-set DECONTAMINATION — the n-gram containment check every serious
+    * pretraining pipeline runs before training (public practice since GPT-2's
+    * 8-gram overlap appendix): flag a training doc when it contains ≥ 50% of
+    * an eval doc's distinct n-grams. The eval slice here is carved from the
+    * corpus itself (doc_id ≡ evalRem mod evalMod — deterministic, no external
+    * data), which also plants guaranteed positives: every eval doc flags
+    * itself at 100% containment, and near-dups of eval docs flag at high
+    * containment.
+    *
+    * Shape: both sides reuse [[Dedup.shingles]] (distinct n-grams); the eval
+    * side is BROADCAST (eval suites are metadata-sized by nature — a few
+    * thousand docs; for an unusually large suite the same plan runs as a
+    * shuffle equi-join on the shingle key) and the containment count is one
+    * hash-agg per (train_doc, eval_doc) pair that shares at least one
+    * n-gram — never a cartesian.
+    * Output: (doc_id, eval_id, common, eval_n) for flagged pairs.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 5,
+      evalMod: Long = 97L, evalRem: Long = 3L): DataFrame = {
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val sh = Dedup.shingles(corpus, n)
+    val ev = sh.where(pmod(col("doc_id"), lit(evalMod)) === evalRem)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val en = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_n"))
+    sh.join(broadcast(ev), "s")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(en), "eval_id")
+      .where(col("common") * 2 >= col("eval_n"))
+      .select(col("doc_id"), col("eval_id"), col("common"), col("eval_n"))
+  }
+
   /** End-to-end corpus CURATION — the compound operator a training-data
     * pipeline actually runs: per-doc stats ([[quality]] + [[predLang]]) over
     * the derived dedup corpus, an exact integer/string gate

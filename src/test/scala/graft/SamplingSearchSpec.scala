@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Sampling, Search}
+import graft.ops.{Sampling, Search, TextOps}
 
 /** Unit coverage for the data-mixing samplers and integer-BM25 retrieval
   * (their sf0.01 DuckDB oracles are the end-to-end gate; these tests pin the
@@ -56,6 +56,35 @@ class SamplingSearchSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Exchange hashpartitioning"),
       s"sampling must not shuffle the corpus:\n$p")
+  }
+
+  test("repetition: hand-computed dup-token and top-bigram fractions, <2-token guard") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a a"),   // nd=1: dup 7500; bigram "a a" x3 of 3: ratio 10000
+      (2L, "a b c d"),   // all distinct: dup 0; top bigram 1 of 3: 3333
+      (3L, "x"))         // no bigram: top_n 0, ratio 0
+      .toDF("doc_id", "text")
+    val out = TextOps.repetition(corpus).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) === ((4L, 7500L, 3L, 10000L)))
+    assert(out(2L) === ((4L, 0L, 1L, 3333L)))
+    assert(out(3L) === ((1L, 0L, 0L, 0L)))
+  }
+
+  test("decontaminate: exact copy and self-match flag, disjoint doc does not") {
+    import spark.implicits._
+    val evalText = "q w e r t y u i o p" // 10 tokens -> 6 distinct 5-grams
+    val corpus = Seq(
+      (3L, evalText),                  // the eval doc (3 % 97 == 3)
+      (5L, evalText),                  // exact copy: common = eval_n = 6
+      (7L, "q w e r t y z z2 z3 z4"),  // shares 2 of 6 shingles: below 50%
+      (9L, "m n b v c x l k j h"))     // disjoint
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((3L, 3L, 6L, 6L), (5L, 3L, 6L, 6L)))
   }
 
   test("stratifiedTopK == unsalted single-window reference ranking") {
