@@ -92,19 +92,53 @@ object IncrementalDedup {
   private def shinglesOf(reps: DataFrame): DataFrame =
     Dedup.shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
 
-  /** The incremental decision over base-state ∪ shard.
-    * Output: (doc_id, keep_id, is_dup) for EVERY doc of base ∪ shard —
-    * row-for-row what [[Dedup.dupClusters]] computes from scratch on the
-    * union (modulo the cap-drift note above).
+  /** Fold a shard INTO the committed state (append-only): after this, the
+    * state covers base ∪ shard and the NEXT shard folds against it — the
+    * daily-shard lifecycle where state only ever grows by shard-sized
+    * increments and no committed derivation is ever redone. Work is exactly
+    * [[foldShard]] (the same increments the decision computes) plus four
+    * shard-sized parquet appends; at 100 TB the appends are new-data-sized
+    * while the stored corpus is only touched by the content-key attach and
+    * the candidate semi-join. OpsSpec proves sequential commits are
+    * decision-identical to from-scratch over the whole union.
     */
-  def incrementalClusters(spark: SparkSession, stateDir: String,
+  def commitIncrement(spark: SparkSession, stateDir: String,
       shard: DataFrame, numer: Int = 1, denom: Int = 2, bands: Int = 32,
-      rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
+      rows: Int = 1, maxBucket: Int = 1000): Unit = {
     val bReps = spark.read.parquet(s"$stateDir/reps")
-    val bMembers = spark.read.parquet(s"$stateDir/members")
     val bBuckets = spark.read.parquet(s"$stateDir/buckets")
-    val bPairs = spark.read.parquet(s"$stateDir/pairs")
+    val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
+    // materialize every increment BEFORE appending: the append writes land
+    // in the very directories the increments' plans scan
+    def pinned(df: DataFrame): DataFrame =
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val reps = pinned(f.newReps.join(f.newSizes, Seq("rep_id"), "left")
+      .select(col("rep_id"), col("text"),
+        coalesce(col("n"), lit(0L)).as("n_shingles")))
+    val members = pinned(f.matchedMembers.unionByName(f.newMembers))
+    val buckets = pinned(f.newBuckets)
+    val pairs = pinned(f.newPairs)
+    reps.write.mode("append").parquet(s"$stateDir/reps")
+    members.write.mode("append").parquet(s"$stateDir/members")
+    buckets.write.mode("append").parquet(s"$stateDir/buckets")
+    pairs.write.mode("append").parquet(s"$stateDir/pairs")
+  }
 
+  /** Everything a shard fold derives before (and besides) the decision:
+    * the shard-side increments that [[incrementalClusters]] combines with
+    * stored state and that [[commitIncrement]] appends TO the state.
+    */
+  private final case class ShardFold(matchedMembers: DataFrame,
+      newReps: DataFrame, newMembers: DataFrame, newSizes: DataFrame,
+      newBuckets: DataFrame, newPairs: DataFrame)
+
+  /** Steps 1–2 of the fold (collapse + content-key attach, signatures and
+    * verified pairs for NEW texts only), against already-loaded state
+    * relations — shared by the decision and the state update.
+    */
+  private def foldShard(bReps: DataFrame, bBuckets: DataFrame,
+      shard: DataFrame, numer: Int, denom: Int, bands: Int, rows: Int,
+      maxBucket: Int): ShardFold = {
     // 1. collapse the shard alone, then split its groups by whether the
     // text already exists in base (content-key equi-join — the same sha2
     // identity the collapse itself uses)
@@ -148,6 +182,27 @@ object IncrementalDedup {
     val verifySh = newSh.unionByName(baseCandSh)
     val newPairs = Dedup.verifyJaccard(cands, verifySh, numer, denom)
       .select(col("a"), col("b"))
+    ShardFold(matchedMembers, newReps, newMembers, newSizes, newBuckets, newPairs)
+  }
+
+  /** The incremental decision over base-state ∪ shard.
+    * Output: (doc_id, keep_id, is_dup) for EVERY doc of base ∪ shard —
+    * row-for-row what [[Dedup.dupClusters]] computes from scratch on the
+    * union (modulo the cap-drift note above).
+    */
+  def incrementalClusters(spark: SparkSession, stateDir: String,
+      shard: DataFrame, numer: Int = 1, denom: Int = 2, bands: Int = 32,
+      rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    val bReps = spark.read.parquet(s"$stateDir/reps")
+    val bMembers = spark.read.parquet(s"$stateDir/members")
+    val bBuckets = spark.read.parquet(s"$stateDir/buckets")
+    val bPairs = spark.read.parquet(s"$stateDir/pairs")
+    val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
+    val matchedMembers = f.matchedMembers
+    val newReps = f.newReps
+    val newMembers = f.newMembers
+    val newSizes = f.newSizes
+    val newPairs = f.newPairs
 
     // 3. CC over the stored ∪ new pair graph; keeper = min member doc_id of
     // the cluster (NOT the stored rep id — a smaller-id shard doc in a

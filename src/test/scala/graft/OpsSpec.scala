@@ -360,6 +360,25 @@ class OpsSpec extends SparkTestBase {
       s"missing=${(scratch -- inc).take(5)} spurious=${(inc -- scratch).take(5)}")
   }
 
+  test("incremental dedup: sequential shard commits stay decision-identical to from-scratch") {
+    import java.nio.file.Files
+    import graft.ops.IncrementalDedup
+    // three-way split: commit part0, FOLD-AND-COMMIT part1 (state now covers
+    // part0 ∪ part1), then decide part2 against the evolved state — the
+    // daily-shard lifecycle. %3 splits exact-copy groups and near-dup pairs
+    // across shards, so cross-shard attach/candidate paths all run.
+    val part = (r: Int) => corpus.where(pmod(col("doc_id"), lit(3)) === r)
+    val dir = Files.createTempDirectory("graft-inc-seq").toString
+    IncrementalDedup.commitState(spark, part(0), dir)
+    IncrementalDedup.commitIncrement(spark, dir, part(1))
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(IncrementalDedup.incrementalClusters(spark, dir, part(2)))
+    val scratch = rows(Dedup.dupClusters(corpus))
+    assert(inc == scratch,
+      s"missing=${(scratch -- inc).take(5)} spurious=${(inc -- scratch).take(5)}")
+  }
+
   test("incremental dedup: committed texts are never re-processed (corrupted-state proof)") {
     import java.nio.file.Files
     import graft.ops.IncrementalDedup
