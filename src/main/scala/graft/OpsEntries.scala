@@ -52,6 +52,10 @@ object OpsEntries {
       Dedup.dupClusters(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(Dedup.derivedEmbeddings(emb(s, dir)))),
+    // the embedding-side dedup DECISION: CC over the near-dup pair graph,
+    // min-id keeper per cluster (same shape as dedup_clusters for text)
+    "dedup_embedding_clusters" -> ((s, dir) =>
+      Dedup.embeddingClusters(Dedup.derivedEmbeddings(emb(s, dir)))),
     // incremental dedup: base (6/7 of the corpus) is committed ONCE as
     // signature-store state; the shard (1/7, including smaller-id docs that
     // must take over as keepers) is folded in without any base-vs-base
@@ -624,6 +628,27 @@ object OpsEntries {
          |FROM emb x JOIN emb y ON x.vec_id < y.vec_id
          |WHERE list_dot_product(x.e, y.e) >=
          |  0.95 * sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))""".stripMargin,
+    // same pair relation as dedup_embedding, then the same recursive-CTE
+    // reachability construction as the text-side decision oracles
+    "dedup_embedding_clusters" ->
+      s"""${embCte.replaceFirst("WITH emb", "WITH RECURSIVE emb")},
+         |pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |       FROM emb x JOIN emb y ON x.vec_id < y.vec_id
+         |       WHERE list_dot_product(x.e, y.e) >=
+         |         0.95 * sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))),
+         |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+         |nodes AS (SELECT DISTINCT x AS n FROM sym),
+         |reach(s, t) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.s, e2.y FROM reach r JOIN sym e2 ON r.t = e2.x
+         |),
+         |comp AS (SELECT s AS d, min(t) AS keep FROM reach GROUP BY s)
+         |SELECT em.vec_id,
+         |  CAST(coalesce(comp.keep, em.vec_id) AS BIGINT) AS keep_id,
+         |  CAST(CASE WHEN coalesce(comp.keep, em.vec_id) != em.vec_id
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM emb em LEFT JOIN comp ON comp.d = em.vec_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

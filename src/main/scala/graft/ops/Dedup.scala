@@ -527,6 +527,29 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
+  /** The embedding-dedup DECISION: the same cluster-and-pick-keeper shape as
+    * [[dupClusters]] on the text side, over the [[embeddingNearDups]] pair
+    * graph — connected components (large-star/small-star, pair-graph-sized
+    * input only), keeper = min vec_id per cluster, vectors in no pair keep
+    * themselves. Semantic near-dups are transitive in practice (prompt
+    * paraphrase families), so the decision must be cluster-level, not
+    * pair-level — dropping one side of each pair independently over-deletes
+    * chains. Output: (vec_id, keep_id, is_dup) for every vector.
+    */
+  def embeddingClusters(derived: DataFrame, threshold: Double = 0.95,
+      bands: Int = 24, rows: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val pairs = embeddingNearDups(derived, threshold, bands, rows, dim, seed)
+    val comps = graft.kg.canon.ConnectedComponents.run(
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("node").as("vec_id"), col("component"))
+    derived.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("keep_id"))
+      .select(col("vec_id"), col("keep_id"),
+        when(col("vec_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
+  }
+
   /** Representative-level LSH pairs (the CC input of [[dupClusters]]):
     * collapse → shingles → capped candidates → exact verify, WITHOUT the
     * member expansion. Its size depends only on the number of near-dup

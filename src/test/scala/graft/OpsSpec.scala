@@ -95,6 +95,23 @@ class OpsSpec extends SparkTestBase {
     assert(pairs(planted) == got)
   }
 
+  test("embeddingClusters: transitive chain collapses to one cluster, min-id keeper") {
+    val s = spark
+    import s.implicits._
+    // a→b→c at 17° steps: cos(17°) ≈ 0.956 ≥ 0.95 links neighbors, but
+    // cos(34°) ≈ 0.829 < 0.95 — so there is NO a–c pair, and only a
+    // cluster-level (CC) decision puts all three in one group. A pair-level
+    // drop would over-delete the chain; vector 9 is orthogonal (singleton).
+    def v(theta: Double): Seq[Double] = Seq.tabulate(64)(i =>
+      if (i == 0) math.cos(theta) else if (i == 1) math.sin(theta) else 0.0)
+    val t = math.toRadians(17)
+    val chain = Seq((1L, v(0)), (2L, v(t)), (3L, v(2 * t)), (9L, v(math.Pi / 2)))
+      .toDF("vec_id", "emb")
+    val out = Dedup.embeddingClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (9L, 9L, 0L)))
+  }
+
   test("IVF top-k recall@10 vs brute force, over the materialized index") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.materializedIndex(spark, e, tag = sf)
