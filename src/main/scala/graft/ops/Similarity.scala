@@ -212,10 +212,8 @@ object Similarity {
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
     def build(): (String, Seq[(Int, Seq[Long])]) = {
       val cents = KMeans.train(embeddings, nCells, iters)
-      val rel = prepared(embeddings).withColumn("qv", KMeans.quantize("emb"))
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-km-index").toString
-      KMeans.assignTo(rel, cents, carry = Seq("emb", "norm"))
-        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      writeAssigned(embeddings, cents, dir, "overwrite")
       (dir, cents)
     }
     val key = s"$tag/$nCells/$iters/km-v$IndexVersion"
@@ -227,6 +225,33 @@ object Similarity {
       fresh
     }
   }
+
+  /** Assign `embeddings` to FROZEN `cents` (one broadcast + min_by pass) and
+    * write the (vec_id, emb, norm, cell_id) rows to `dir` partitioned by
+    * cell_id — shared by the initial index build and [[appendToKmeansIndex]].
+    */
+  private def writeAssigned(embeddings: DataFrame, cents: Seq[(Int, Seq[Long])],
+      dir: String, mode: String): Unit = {
+    val rel = prepared(embeddings).withColumn("qv", KMeans.quantize("emb"))
+    KMeans.assignTo(rel, cents, carry = Seq("emb", "norm"))
+      .write.mode(mode).partitionBy("cell_id").parquet(dir)
+  }
+
+  /** Incremental index MAINTENANCE — the daily-shard path for the similarity
+    * family (the ANN mirror of [[graft.ops.IncrementalDedup.commitIncrement]]):
+    * assign a batch of new vectors to the index's FROZEN centroids and append
+    * them into the existing cell partitions. Work is batch-sized (one
+    * broadcast-assign pass + a partitioned append); the stored index is never
+    * rewritten, probes see base ∪ batch immediately, and OpsSpec pins that
+    * the appended index is row-identical to assigning everything against the
+    * same centroids from scratch. Centroids stay frozen between retrains —
+    * the standard production IVF discipline (drift is handled by periodic
+    * full retrain+rebuild, a deliberate offline event, not by mutating cell
+    * geometry under live probes).
+    */
+  def appendToKmeansIndex(batch: DataFrame, cents: Seq[(Int, Seq[Long])],
+      indexDir: String): Unit =
+    writeAssigned(batch, cents, indexDir, "append")
 
   /** Compressed-index schema of [[materializedSqIndex]]: the residual CODES
     * (one int8 per dimension) replace the raw `array<double>` embedding —

@@ -95,6 +95,29 @@ class OpsSpec extends SparkTestBase {
     assert(pairs(planted) == got)
   }
 
+  test("k-means IVF append: evolved index == from-scratch assignment to frozen centroids") {
+    import java.nio.file.Files
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // seeds (vec_id < 16) must stay in base — KMeans.train inits from them
+    val batch = e.where(col("vec_id") % 5 === 0 && col("vec_id") >= 16)
+    val base = e.exceptAll(batch)
+    val cents = graft.ops.KMeans.train(base) // frozen: trained on base only
+    val incDir = Files.createTempDirectory("graft-ivf-inc").toString
+    Similarity.appendToKmeansIndex(base, cents, incDir) // initial build = append into empty
+    Similarity.appendToKmeansIndex(batch, cents, incDir) // the daily shard
+    val fullDir = Files.createTempDirectory("graft-ivf-full").toString
+    Similarity.appendToKmeansIndex(e, cents, fullDir)
+    def contents(dir: String): Set[(Long, Int)] =
+      spark.read.schema(Similarity.indexSchema).parquet(dir)
+        .select("vec_id", "cell_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(contents(incDir) === contents(fullDir))
+    def rows(df: DataFrame): Seq[(Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(Similarity.ivfKmeansTopK(spark, incDir, cents, e)) ===
+      rows(Similarity.ivfKmeansTopK(spark, fullDir, cents, e)))
+  }
+
   test("embeddingClusters: transitive chain collapses to one cluster, min-id keeper") {
     val s = spark
     import s.implicits._
