@@ -92,36 +92,75 @@ object IncrementalDedup {
   private def shinglesOf(reps: DataFrame): DataFrame =
     Dedup.shingles(reps.select(col("rep_id").as("doc_id"), col("text")))
 
-  /** Fold a shard INTO the committed state (append-only): after this, the
-    * state covers base ∪ shard and the NEXT shard folds against it — the
-    * daily-shard lifecycle where state only ever grows by shard-sized
-    * increments and no committed derivation is ever redone. Work is exactly
-    * [[foldShard]] (the same increments the decision computes) plus four
-    * shard-sized parquet appends; at 100 TB the appends are new-data-sized
-    * while the stored corpus is only touched by the content-key attach and
-    * the candidate semi-join. OpsSpec proves sequential commits are
-    * decision-identical to from-scratch over the whole union.
+  /** The four state relations as of now: the base tables ∪ every COMMITTED
+    * increment. An increment is visible ONLY once its `_COMMITTED` marker
+    * exists — a crashed half-written `increments/<tag>/` is ignored by every
+    * reader, which is what makes [[commitIncrement]] crash-safe. Tag order is
+    * irrelevant to the relations (unions), so listing order doesn't matter.
+    */
+  private def stateRelations(spark: SparkSession, stateDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val incRoot = Paths.get(stateDir, "increments")
+    val committed =
+      if (!Files.isDirectory(incRoot)) Seq.empty[String]
+      else {
+        val s = Files.list(incRoot)
+        try s.iterator().asScala.toSeq
+          .filter(p => Files.exists(p.resolve("_COMMITTED")))
+          .map(_.toString).sorted
+        finally s.close()
+      }
+    def rel(sub: String): DataFrame =
+      committed.foldLeft(spark.read.parquet(s"$stateDir/$sub"))(
+        (acc, d) => acc.unionByName(spark.read.parquet(s"$d/$sub")))
+    (rel("reps"), rel("members"), rel("buckets"), rel("pairs"))
+  }
+
+  /** Fold a shard INTO the committed state: after this, the state covers
+    * base ∪ shard and the NEXT shard folds against it — the daily-shard
+    * lifecycle where state only ever grows by shard-sized increments and no
+    * committed derivation is ever redone. Work is exactly [[foldShard]] (the
+    * same increments the decision computes) plus four shard-sized parquet
+    * writes; at 100 TB the writes are new-data-sized while the stored corpus
+    * is only touched by the content-key attach and the candidate semi-join.
+    *
+    * CRASH SAFETY + IDEMPOTENCE (the TableIO resume discipline applied to
+    * dedup state): the increment is staged under `increments/<shardTag>/`
+    * and becomes visible to readers only when its `_COMMITTED` marker lands
+    * (written LAST). A crash mid-write leaves an uncommitted directory that
+    * every reader ignores and that a retry overwrites wholesale; re-running
+    * an already-committed tag is a no-op. OpsSpec proves sequential commits
+    * are decision-identical to from-scratch, and that a simulated crashed
+    * attempt neither corrupts the fold nor survives the retry.
     */
   def commitIncrement(spark: SparkSession, stateDir: String,
-      shard: DataFrame, numer: Int = 1, denom: Int = 2, bands: Int = 32,
-      rows: Int = 1, maxBucket: Int = 1000): Unit = {
-    val bReps = spark.read.parquet(s"$stateDir/reps")
-    val bBuckets = spark.read.parquet(s"$stateDir/buckets")
-    val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
-    // materialize every increment BEFORE appending: the append writes land
-    // in the very directories the increments' plans scan
-    def pinned(df: DataFrame): DataFrame =
-      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val reps = pinned(f.newReps.join(f.newSizes, Seq("rep_id"), "left")
-      .select(col("rep_id"), col("text"),
-        coalesce(col("n"), lit(0L)).as("n_shingles")))
-    val members = pinned(f.matchedMembers.unionByName(f.newMembers))
-    val buckets = pinned(f.newBuckets)
-    val pairs = pinned(f.newPairs)
-    reps.write.mode("append").parquet(s"$stateDir/reps")
-    members.write.mode("append").parquet(s"$stateDir/members")
-    buckets.write.mode("append").parquet(s"$stateDir/buckets")
-    pairs.write.mode("append").parquet(s"$stateDir/pairs")
+      shard: DataFrame, shardTag: String, numer: Int = 1, denom: Int = 2,
+      bands: Int = 32, rows: Int = 1, maxBucket: Int = 1000): Unit = {
+    import java.nio.file.{Files, Paths}
+    val incDir = Paths.get(stateDir, "increments", shardTag)
+    if (!Files.exists(incDir.resolve("_COMMITTED"))) {
+      val (bReps, _, bBuckets, _) = stateRelations(spark, stateDir)
+      val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
+      // pin each increment once: four write actions would otherwise re-run
+      // the fold's base-side joins per action (same rationale as commitState)
+      def pinned(df: DataFrame): DataFrame =
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val reps = pinned(f.newReps.join(f.newSizes, Seq("rep_id"), "left")
+        .select(col("rep_id"), col("text"),
+          coalesce(col("n"), lit(0L)).as("n_shingles")))
+      val members = pinned(f.matchedMembers.unionByName(f.newMembers))
+      val buckets = pinned(f.newBuckets)
+      val pairs = pinned(f.newPairs)
+      // overwrite: a half-written previous attempt under this tag is
+      // replaced wholesale; nothing is visible until the marker lands
+      reps.write.mode("overwrite").parquet(s"$incDir/reps")
+      members.write.mode("overwrite").parquet(s"$incDir/members")
+      buckets.write.mode("overwrite").parquet(s"$incDir/buckets")
+      pairs.write.mode("overwrite").parquet(s"$incDir/pairs")
+      Files.createFile(incDir.resolve("_COMMITTED"))
+    }
   }
 
   /** Everything a shard fold derives before (and besides) the decision:
@@ -193,10 +232,7 @@ object IncrementalDedup {
   def incrementalClusters(spark: SparkSession, stateDir: String,
       shard: DataFrame, numer: Int = 1, denom: Int = 2, bands: Int = 32,
       rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
-    val bReps = spark.read.parquet(s"$stateDir/reps")
-    val bMembers = spark.read.parquet(s"$stateDir/members")
-    val bBuckets = spark.read.parquet(s"$stateDir/buckets")
-    val bPairs = spark.read.parquet(s"$stateDir/pairs")
+    val (bReps, bMembers, bBuckets, bPairs) = stateRelations(spark, stateDir)
     val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
     val matchedMembers = f.matchedMembers
     val newReps = f.newReps

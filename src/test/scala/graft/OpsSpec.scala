@@ -410,13 +410,27 @@ class OpsSpec extends SparkTestBase {
     val part = (r: Int) => corpus.where(pmod(col("doc_id"), lit(3)) === r)
     val dir = Files.createTempDirectory("graft-inc-seq").toString
     IncrementalDedup.commitState(spark, part(0), dir)
-    IncrementalDedup.commitIncrement(spark, dir, part(1))
+    // simulate a CRASHED earlier attempt at this tag: half-written garbage,
+    // no _COMMITTED marker — the fold must ignore it, the retry must bury it
+    val s = spark
+    import s.implicits._
+    val stale = java.nio.file.Paths.get(dir, "increments", "day-1")
+    Seq((999999999L, "crash garbage text", 0L))
+      .toDF("rep_id", "text", "n_shingles")
+      .write.mode("overwrite").parquet(stale.resolve("reps").toString)
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
     def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val inc = rows(IncrementalDedup.incrementalClusters(spark, dir, part(2)))
     val scratch = rows(Dedup.dupClusters(corpus))
     assert(inc == scratch,
       s"missing=${(scratch -- inc).take(5)} spurious=${(inc -- scratch).take(5)}")
+    // re-running an already-committed tag is a no-op (idempotent retry)
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
+    assert(rows(IncrementalDedup.incrementalClusters(spark, dir, part(2))) == scratch)
+    // the garbage from the crashed attempt is gone from the committed state
+    assert(spark.read.parquet(stale.resolve("reps").toString)
+      .where(col("rep_id") === 999999999L).isEmpty)
   }
 
   test("incremental dedup: committed texts are never re-processed (corrupted-state proof)") {

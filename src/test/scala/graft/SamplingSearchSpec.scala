@@ -87,6 +87,15 @@ class SamplingSearchSpec extends SparkTestBase {
     assert(out === Set((3L, 3L, 6L, 6L), (5L, 3L, 6L, 6L)))
   }
 
+  test("bm25/decontaminate plan shapes: top-k never a global sort, overlap never cartesian") {
+    val p1 = Search.bm25TopK(docs).queryExecution.executedPlan.toString
+    assert(p1.contains("TakeOrderedAndProject"), s"bm25 top-k must not global-sort:\n$p1")
+    val p2 = TextOps.decontaminate(docs).queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate must stay an equi-join on the shingle key:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"))
+  }
+
   test("stratifiedTopK == unsalted single-window reference ranking") {
     val salted = Sampling.stratifiedTopK(docs, k = 15, salts = 8).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
