@@ -45,6 +45,11 @@ object OpsEntries {
         bands = 16, rows = 2, portable = true)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.derivedCorpus(docs(s, dir)))),
+    // exact-substring duplicate-PASSAGE detection (Lee et al. 2022 restated
+    // as windowed fingerprints): cross-doc repeated 8-token windows merged
+    // into maximal per-doc spans (gaps-and-islands)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatePassages(Dedup.derivedCorpus(docs(s, dir)))),
     // the dedup DECISION: connected components over near-dup pairs pick one
     // survivor per cluster (iterative large-star/small-star CC on a
     // data-derived graph; oracle = recursive-CTE reachability)
@@ -76,6 +81,9 @@ object OpsEntries {
     // salted ranking — no single task sorts a whole stratum)
     "curate_sample" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
     "curate_sample_topk" -> ((s, dir) => Sampling.stratifiedTopK(docs(s, dir))),
+    // per-source TOKEN-budget fill: two-phase bucket-histogram prefix scan
+    // (no stratum-sized sort); kept set == the naive running-total prefix
+    "curate_token_budget" -> ((s, dir) => Sampling.tokenBudget(docs(s, dir))),
     // ---- similarity search -------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     // all-pairs thresholded k-NN join: sign-band LSH blocking + two-level
@@ -103,6 +111,14 @@ object OpsEntries {
       val e = emb(s, dir)
       val (idx, cents, scale) = Similarity.materializedSqIndex(s, e, tag = dir)
       Similarity.ivfSqTopK(s, idx, cents, scale, e)
+    }),
+    // product-quantized IVF (Jégou et al. IVFPQ): 8 subspaces x 16-codeword
+    // codebooks over the k-means residuals (~16 B/vector logical), driver-
+    // built asymmetric-distance table, top-50 integer cut, exact re-rank
+    "sim_ivf_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (idx, cents, cb) = Similarity.materializedPqIndex(s, e, tag = dir)
+      Similarity.ivfPqTopK(s, idx, cents, cb, e)
     }),
     // ---- relational coverage -----------------------------------------------
     "q_agg_filter" -> ((s, dir) => Relational.aggFilter(s, dir)),
@@ -495,6 +511,81 @@ object OpsEntries {
        |  FROM emb JOIN cand USING (vec_id), qe)
        |QUALIFY rank <= 10""".stripMargin
 
+  /** Oracle for dedup_spans: identical 60-bit window fingerprints
+    * ([[duckHash60]] == Spark's conv-of-md5, so even a fingerprint collision
+    * matches both sides), cross-document frequency cut, and the same
+    * gaps-and-islands interval merge. w = 8 tokens (DuckDB slice ts[i:i+7]
+    * is INCLUSIVE — 8 elements, mirroring Spark's slice(ts, i, 8)).
+    */
+  private val dedupSpansSql: String =
+    s"""$corpusCte,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+       |wh AS (SELECT doc_id, i AS start_,
+       |         ${duckHash60("array_to_string(ts[i:i+7], ' ')")} AS h
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM tok)),
+       |dk AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT wh.doc_id, wh.start_, wh.start_ + 7 AS end_
+       |         FROM wh JOIN dk USING (h)),
+       |fl AS (SELECT doc_id, start_, end_,
+       |         max(end_) OVER (PARTITION BY doc_id ORDER BY start_
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |       FROM hits),
+       |il AS (SELECT doc_id, start_, end_,
+       |         sum(CASE WHEN pmax IS NULL OR start_ > pmax + 1 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY start_ ROWS UNBOUNDED PRECEDING) AS isl
+       |       FROM fl)
+       |SELECT doc_id, CAST(min(start_) AS BIGINT) AS span_start,
+       |       CAST(max(end_) AS BIGINT) AS span_end,
+       |       CAST(count(*) AS BIGINT) AS n_windows
+       |FROM il GROUP BY doc_id, isl""".stripMargin
+
+  /** Oracle for sim_ivf_pq_topk: the k-means prefix, residuals, the SEEDED
+    * per-subspace codebooks (residual sub-vectors of vec_id < 16), argmin
+    * encoding (d2 asc, cid asc), the per-(probed cell, subspace, codeword)
+    * asymmetric-distance table, code-lookup distance sums, the top-50 cut,
+    * and the exact double-cosine re-rank — every candidate-deciding stage is
+    * integer arithmetic, mirroring materializedPqIndex/ivfPqTopK exactly.
+    */
+  private val ivfPqTopKSql: String =
+    s"""WITH ${kmeansCtes(3)},
+       |res AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |    list_transform(generate_series(1, len(q.qv)), j -> q.qv[j] - c.cv[j]) AS rv
+       |  FROM af a JOIN q USING (vec_id) JOIN c3 c USING (cell_id)),
+       |subs AS (SELECT unnest(generate_series(1, 8)) AS u),
+       |cbk AS (SELECT subs.u, CAST(r.vec_id AS INT) AS cid,
+       |         list_transform(generate_series(1, 8), l -> r.rv[(subs.u - 1) * 8 + l]) AS cw
+       |       FROM res r, subs WHERE r.vec_id < 16),
+       |enc AS (SELECT vec_id, cell_id, u, cid FROM (
+       |          SELECT r.vec_id, r.cell_id, c.u, c.cid,
+       |            list_sum(list_transform(generate_series(1, 8),
+       |              l -> (r.rv[(c.u - 1) * 8 + l] - c.cw[l])
+       |                 * (r.rv[(c.u - 1) * 8 + l] - c.cw[l]))) AS d2
+       |          FROM res r, cbk c)
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id, u
+       |          ORDER BY d2 ASC, cid ASC) = 1),
+       |qres AS (SELECT p.cell_id,
+       |         list_transform(generate_series(1, 64), j -> qq.qv[j] - ct.cv[j]) AS qrv
+       |       FROM probe p JOIN c3 ct USING (cell_id), qq),
+       |dtab AS (SELECT qres.cell_id, c.u, c.cid,
+       |           list_sum(list_transform(generate_series(1, 8),
+       |             l -> (qres.qrv[(c.u - 1) * 8 + l] - c.cw[l])
+       |                * (qres.qrv[(c.u - 1) * 8 + l] - c.cw[l]))) AS d2u
+       |         FROM qres, cbk c),
+       |d2a AS (SELECT e.vec_id, sum(t.d2u) AS d2a
+       |        FROM enc e JOIN dtab t
+       |          ON t.cell_id = e.cell_id AND t.u = e.u AND t.cid = e.cid
+       |        WHERE e.vec_id != 0 GROUP BY 1),
+       |cand AS (SELECT vec_id FROM d2a ORDER BY d2a ASC, vec_id ASC LIMIT 100),
+       |qe AS (SELECT e FROM emb WHERE vec_id = 0)
+       |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+       |FROM (
+       |  SELECT emb.vec_id,
+       |    list_dot_product(emb.e, qe.e) /
+       |      (sqrt(list_dot_product(emb.e, emb.e)) * sqrt(list_dot_product(qe.e, qe.e))) AS cos
+       |  FROM emb JOIN cand USING (vec_id), qe)
+       |QUALIFY rank <= 10""".stripMargin
+
   /** Sampling-bucket CTE shared by the curate_sample oracles: the IDENTICAL
     * salted md5 → 60-bit integer → mod 10⁴ construction as
     * [[Sampling.bucket]] (duckHash60 mirrors Spark's conv-of-md5 exactly).
@@ -574,6 +665,20 @@ object OpsEntries {
          |  CAST(row_number() OVER (PARTITION BY lang
          |         ORDER BY bucket ASC, doc_id ASC) AS BIGINT) AS rank
          |FROM b QUALIFY rank <= 40""".stripMargin,
+    // the oracle states the NAIVE definition (per-source running-token
+    // prefix over the (bucket, doc_id) order); the Spark plan's two-phase
+    // bucket-histogram restatement must select the identical set
+    "curate_token_budget" ->
+      s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             ${duckHash60("'bud:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM b)
+         |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= 600""".stripMargin,
     "text_tokens" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -614,6 +719,7 @@ object OpsEntries {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM corpus""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardSql(1, 5),
+    "dedup_spans" -> dedupSpansSql,
     "dedup_minhash_lsh" -> jaccardSql(1, 2),
     "dedup_minhash_lsh_16x2" -> minhashLsh16x2Sql,
     "dedup_simhash" -> simhashSql,
@@ -662,6 +768,7 @@ object OpsEntries {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "sim_ivf_sq_topk" -> ivfSqTopKSql,
+    "sim_ivf_pq_topk" -> ivfPqTopKSql,
     "sim_batch_topk" ->
       """WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

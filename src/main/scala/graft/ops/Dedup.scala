@@ -619,4 +619,71 @@ object Dedup {
       .where(dot >= lit(threshold) * col("x.norm") * col("y.norm"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
   }
+
+  /** EXACT-SUBSTRING duplicate-passage detection — the span-level dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): document-level near-dup ops miss the web's pervasive PARTIAL
+    * duplication (boilerplate headers, quoted passages, syndicated
+    * paragraphs), so production pipelines also locate every token span that
+    * occurs verbatim in more than one document. Their suffix-array
+    * construction is single-machine; the distributed restatement is
+    * fixed-width window fingerprints (every w-token window, w = the minimum
+    * duplicated-span length worth cutting), which finds exactly the spans a
+    * suffix array would report at granularity w.
+    *
+    * Plan (all hash-partitioned, nothing pairwise):
+    *   1. one corpus scan → every w-token window as a 60-bit
+    *      [[portable 60-bit md5 fingerprint]] (conv(substr(md5,1,15),16,10)
+    *      — the same construction as [[Sampling.bucket]], replicated exactly
+    *      by DuckDB): the shuffle carries 8-byte keys, not w-token strings
+    *      (~w× the corpus — the difference between shuffling ~100 TB·w and
+    *      ~2 TB of hashes at web scale);
+    *   2. cross-document frequency per fingerprint = one partial-aggregatable
+    *      hash-agg; duplicated = seen in ≥ 2 distinct docs. A boilerplate
+    *      window shared by 10^8 docs is ONE grouping key — hot keys cost a
+    *      skewed agg bucket, never a join blow-up;
+    *   3. left-semi join windows against the duplicated fingerprints (equi,
+    *      8-byte key);
+    *   4. per-doc merge of surviving window starts into MAXIMAL spans —
+    *      gaps-and-islands over a (doc_id)-partitioned window (bounded by
+    *      tokens-per-doc, never corpus-sized): island breaks where a start
+    *      exceeds every prior end + 1; one hash-agg emits (min start,
+    *      max end) per island.
+    *
+    * 60-bit collisions: ~n²/2^61 expected false window matches (≈ 10⁻⁷ at
+    * 10⁶ windows); the oracle computes the IDENTICAL fingerprint, so the
+    * compare is exact regardless. Production at 10^12 windows widens the key
+    * to the full md5 — same plan, 2× shuffle width.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — 1-based inclusive
+    * token positions of every maximal cross-document-duplicated span, plus
+    * how many duplicated windows merged into it.
+    */
+  def duplicatePassages(corpus: DataFrame, w: Int = 8): DataFrame = {
+    val winHashes = when(size(split(col("text"), " ")) >= w, expr(
+      s"""transform(sequence(1, size(split(text, ' ')) - ${w - 1}),
+         |  i -> cast(conv(substring(md5(array_join(slice(split(text, ' '), i, $w), ' ')),
+         |                 1, 15), 16, 10) as bigint))""".stripMargin))
+      .otherwise(expr("cast(array() as array<bigint>)"))
+    val wins = corpus
+      .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("h"))
+    val dupKeys = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val hits = wins.join(dupKeys, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("end"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("pmax", max(col("end")).over(wPrev))
+      .withColumn("isl",
+        sum(when(col("pmax").isNull || col("start") > col("pmax") + 1, 1L)
+          .otherwise(0L)).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
 }

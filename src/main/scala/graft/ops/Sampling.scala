@@ -77,4 +77,66 @@ object Sampling {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
   }
+
+  /** The budget-fill bucket hash: same 60-bit-md5-mod-10⁴ construction as
+    * [[bucket]], "bud:"-salted so a doc's budget fate is independent of its
+    * Bernoulli-sampling bucket.
+    */
+  private[graft] def budgetBucket(docId: Column): Column =
+    conv(substring(md5(concat(lit("bud:"), docId.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000L
+
+  /** TOKEN-BUDGET sampling — "give me ≤ B training tokens per source,
+    * deterministically": the mixture knob real pretraining runs configure is
+    * a token budget per domain, not a document count ([[stratifiedTopK]]) or
+    * a rate ([[stratifiedSample]]). Semantics: order each source's docs by
+    * (budget-bucket, doc_id) — a deterministic shuffle — and keep the prefix
+    * whose running token total stays ≤ B.
+    *
+    * A prefix sum is inherently sequential per stratum, so the naive plan
+    * (one ranking window per source) sorts a WHOLE source on one task —
+    * exactly the hot-stratum failure [[stratifiedTopK]] avoids. This is the
+    * two-phase restatement:
+    *   1. per-(source, bucket) token totals: one hash-agg to a relation of
+    *      ≤ |sources|·10⁴ rows — metadata-scale at ANY corpus size;
+    *   2. bucket-level running totals over that tiny relation (the only
+    *      full-stratum ordering, 10⁴ rows per source);
+    *   3. docs in buckets whose running total fits keep UNCONDITIONALLY —
+    *      no doc-level ordering ever touches them (the bulk of the corpus);
+    *   4. only the single BOUNDARY bucket per source (~1/10⁴ of the stratum)
+    *      gets a doc-level running-sum window, partitioned by
+    *      (source, bucket).
+    * The kept set is IDENTICAL to the naive single-window definition (the
+    * DuckDB oracle states it that way); the doc-level cum_tokens column is
+    * reconstructed as bucket-prefix + within-bucket running sum.
+    *
+    * Output: (doc_id, source, n_tokens, cum_tokens) for kept docs, where
+    * cum_tokens ≤ budget is the doc's position in the source's running
+    * total.
+    */
+  def tokenBudget(docs: DataFrame, budget: Long = 600L): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      budgetBucket(col("doc_id")).as("bucket"))
+    // phase 1+2: bucket histogram + bucket-level running totals (tiny)
+    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val bcum = base.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("cum", sum(col("bt")).over(wB))
+      .withColumn("prior", col("cum") - col("bt"))
+    // phase 3: docs in fully-fitting buckets need only their within-bucket
+    // running sum to report cum_tokens (window key (source, bucket) —
+    // ~1/10⁴ of a stratum per partition)
+    val wDoc = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = base.join(bcum, Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("prior") + sum(col("n_tokens")).over(wDoc))
+    // full buckets pass outright; the boundary bucket keeps its fitting
+    // prefix — together exactly the docs with cum_tokens <= budget
+    joined
+      .where(col("cum") <= budget ||
+        (col("prior") < budget && col("cum_tokens") <= budget))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -366,6 +366,144 @@ object Similarity {
         .withColumn("cos", dotProduct(col("emb"), col("qvv")) / (col("norm") * lit(qn))), k)
   }
 
+  private val materializedPqIdx = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])]
+
+  /** Build-once PRODUCT-QUANTIZED IVF index (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the construction behind
+    * FAISS's IVFPQ): the residual space is split into `m` subspaces of
+    * dim/m components; each subspace gets its own `nCode`-entry codebook,
+    * and a vector's payload is just its m codeword ids — here m=8 codes of
+    * 4 bits (nCode=16): **4 B of codes + 8 B id + 4 B cell ≈ 16 B/vector
+    * logical vs ≈ 76 B for the int8 scalar quantizer and ≈ 532 B raw — at
+    * 10^12 rows, a ~16 TB index** (vs ~76 TB SQ / ~0.5 PB raw), still
+    * partition-pruned to nProbe/nCells per query.
+    *
+    * Codebooks are SEEDED (the residual sub-vectors of vec_id < nCode — the
+    * same seeding discipline as [[seedCells]]; a Lloyd refinement per
+    * subspace would slot into the same relation through [[KMeans]]'s loop).
+    * The codebook is m·nCode·(dim/m) = dim·nCode longs — driver-held
+    * metadata, like the centroids. Encoding is one explode-to-(vec, u) pass
+    * against the BROADCAST codebook: argmin codeword per subspace
+    * (integer d², cid tie-break), i.e. per vector m·nCode 8-component
+    * integer distances — the published encode cost. Everything deciding a
+    * code is integer arithmetic → the DuckDB oracle rebuilds the index
+    * bit-exactly. Returns (indexDir, centroids, codebook) with codebook
+    * rows (u, cid, codeword). Same revalidation discipline as
+    * [[materializedIndex]]; stored rows follow [[sqIndexSchema]] (codes are
+    * an array<tinyint> of length m).
+    */
+  def materializedPqIndex(spark: SparkSession, embeddings: DataFrame,
+      tag: String, nCells: Int = 16, iters: Int = 3, m: Int = 8,
+      nCode: Int = 16): (String, Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])]) = {
+    def valid(dir: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    def build(): (String, Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])]) = {
+      val session = spark
+      import session.implicits._
+      val cents = KMeans.train(embeddings, nCells, iters)
+      val rel = prepared(embeddings).withColumn("qv", KMeans.quantize("emb"))
+      val assigned = KMeans.assignTo(rel, cents, carry = Seq("qv"))
+        .join(broadcast(cents.toDF("cell_id", "cv")), "cell_id")
+        .withColumn("rv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
+      val sub = cents.head._2.length / m
+      // codebook seeds: nCode residual vectors — one metadata-scale collect
+      // (nCode·dim longs), the PQ analogue of the driver-held centroids
+      val seeds = assigned.where(col("vec_id") < nCode)
+        .select(col("vec_id"), col("rv")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      val cb: Seq[(Int, Int, Seq[Long])] = for {
+        (cid, rv) <- seeds.toSeq
+        u <- 0 until m
+      } yield (u, cid, rv.slice(u * sub, (u + 1) * sub))
+      val cbDf = cb.toDF("u", "cid", "cw")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-pq-index").toString
+      assigned
+        .select(col("vec_id"), col("cell_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), u -> slice(rv, u * $sub + 1, $sub))"))
+            .as(Seq("u", "rsub")))
+        .join(broadcast(cbDf), "u")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(rsub, cw, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .groupBy(col("vec_id"), col("cell_id"), col("u"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cu"))
+        .groupBy(col("vec_id"), col("cell_id"))
+        .agg(collect_list(struct(col("u"), col("cu"))).as("cs"))
+        .withColumn("code", expr("transform(array_sort(cs), s -> cast(s.cu as tinyint))"))
+        .select(col("vec_id"), col("code"), col("cell_id"))
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      (dir, cents, cb)
+    }
+    val key = s"$tag/$nCells/$iters/$m/$nCode/pq-v$IndexVersion"
+    val cached = materializedPqIdx.getOrElseUpdate(key, build())
+    if (valid(cached._1)) cached
+    else {
+      val fresh = build()
+      materializedPqIdx.put(key, fresh)
+      fresh
+    }
+  }
+
+  /** ANN top-k over the product-quantized index via ASYMMETRIC DISTANCE
+    * COMPUTATION — the published IVFPQ probe: because the query is not
+    * quantized, the distance from the query residual to EVERY codeword is
+    * precomputed once per (probed cell, subspace, codeword) — nProbe·m·nCode
+    * integers, built ON THE DRIVER from the held centroids + codebook (zero
+    * Spark jobs, like [[ivfKmeansTopK]]'s probe) — and a vector's
+    * approximate distance is just the SUM OF m TABLE LOOKUPS on its codes.
+    * The scan reads codes only (partition-pruned), the lookup is a broadcast
+    * equi-join of the exploded (vec, u, code) rows against the 512-row
+    * table, one hash-agg sums per vector, a distributed top-`rerank` cut
+    * (TakeOrderedAndProject), then the exact double-cosine re-rank of the
+    * survivors — identical re-rank discipline to [[ivfSqTopK]], but with a
+    * 2× deeper default pool (100 vs 50): 4-bit ADC ranks coarser than the
+    * int8 scalar quantizer, and deepening the exact re-rank is the published
+    * compression/recall lever (the pool is still metadata-scale). All
+    * ranking below the final cosine is integer → full-mechanics DuckDB
+    * oracle. Output: (vec_id, rank), rank 1..k.
+    */
+  def ivfPqTopK(spark: SparkSession, indexDir: String,
+      cents: Seq[(Int, Seq[Long])], cb: Seq[(Int, Int, Seq[Long])],
+      embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+      nProbe: Int = 4, rerank: Int = 100): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val (qv, qn) = queryVector(embeddings, queryVecId)
+    val qq = KMeans.quantizeLocal(qv)
+    val probeIds = cents
+      .map { case (cid, cv) => (cid, KMeans.dist2Local(qq, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nProbe).map(_._1)
+    val centMap = cents.toMap
+    val m = cb.map(_._1).max + 1
+    val sub = cents.head._2.length / m
+    // the ADC table: d²(query residual in this cell, codeword) per
+    // (cell, subspace, codeword) — driver arithmetic over held metadata
+    val dtab: Seq[(Int, Int, Int, Long)] = for {
+      cell <- probeIds
+      qr = qq.zip(centMap(cell)).map { case (a, b) => a - b }
+      (u, cid, cw) <- cb
+    } yield (cell, u, cid,
+      qr.slice(u * sub, u * sub + sub).zip(cw)
+        .map { case (x, y) => (x - y) * (x - y) }.sum)
+    val dtabDf = dtab.toDF("cell_id", "u", "cid", "d2u")
+    val idx = spark.read.schema(sqIndexSchema).parquet(indexDir)
+      .where(col("cell_id").isin(probeIds.map(x => x: Any): _*))
+      .where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(col("code")).as(Seq("u", "c")))
+      .withColumn("cid", col("c").cast("int"))
+      .join(broadcast(dtabDf), Seq("cell_id", "u", "cid"))
+      .groupBy(col("vec_id")).agg(sum(col("d2u")).as("d2a"))
+    val cands = idx.orderBy(col("d2a").asc, col("vec_id").asc).limit(rerank)
+      .select(col("vec_id"))
+    rankTopK(
+      prepared(embeddings).join(broadcast(cands), "vec_id")
+        .withColumn("qvv", typedLit(qv))
+        .withColumn("cos", dotProduct(col("emb"), col("qvv")) / (col("norm") * lit(qn))), k)
+  }
+
   /** IVF ANN top-k over the k-means index: ONE point lookup resolves the
     * query vector; the probe is a DRIVER-side integer distance sort over the
     * k local centroids (no job at all — the probe structure is k·d longs);

@@ -314,6 +314,55 @@ class OpsSpec extends SparkTestBase {
     assert(overlap >= 9, s"compressed index lost the uncompressed results: km=$km sq=$sq")
   }
 
+  test("pq-compressed IVF: eight 4-bit codes per vector, ADC + exact re-rank holds recall") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (kmIdx, kmCents) = Similarity.materializedKmeansIndex(spark, e, tag = sf)
+    val (pqIdx, pqCents, cb) = Similarity.materializedPqIndex(spark, e, tag = sf)
+    // same trainer, same seeds -> identical coarse quantizer
+    assert(pqCents === kmCents)
+    // codebook: 8 subspaces x 16 codewords x 8 components, driver-held
+    assert(cb.map(_._1).distinct.sorted === (0 until 8))
+    assert(cb.count(_._1 == 0) === 16)
+    assert(cb.forall(_._3.length == 8))
+    // the stored payload is m=8 codeword ids, each in [0, 15] — 4 bits
+    val idx = spark.read.schema(Similarity.sqIndexSchema).parquet(pqIdx)
+    val mm = idx.select(
+      expr("max(size(code))"), expr("min(size(code))"),
+      expr("max(aggregate(code, 0, (a, x) -> greatest(a, cast(x as int))))"),
+      expr("min(aggregate(code, 15, (a, x) -> least(a, cast(x as int))))")).head()
+    assert(mm.getInt(0) == 8 && mm.getInt(1) == 8, s"code length: $mm")
+    assert(mm.getInt(2) <= 15 && mm.getInt(3) >= 0, s"codes out of 4-bit range: $mm")
+    info(s"logical payload = 8 x 4-bit codes (4 B) vs 64 B SQ codes vs 520 B raw")
+    // ADC candidates + exact re-rank must recover the uncompressed top-10
+    def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+    val km = top(Similarity.ivfKmeansTopK(spark, kmIdx, kmCents, e))
+    val pq = top(Similarity.ivfPqTopK(spark, pqIdx, pqCents, cb, e))
+    val overlap = (km.map(_._1).toSet intersect pq.map(_._1).toSet).size
+    info(s"pq-vs-km recall@10 = ${overlap / 10.0}")
+    assert(overlap >= 9, s"pq index lost the uncompressed results: km=$km pq=$pq")
+  }
+
+  test("duplicatePassages: cross-doc windows merge to maximal spans; within-doc repeats don't count") {
+    import spark.implicits._
+    val p = (1 to 10).map(i => s"p$i").mkString(" ")  // 10 shared tokens
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")   // 8 shared tokens
+    val r = (1 to 8).map(i => s"r$i").mkString(" ")   // repeated INSIDE doc 3 only
+    val corpus = Seq(
+      (1L, s"a1 a2 $p b1 b2 b3 $q"), // p at tokens 3..12, q at 16..23
+      (2L, s"$p c1 c2 c3 c4 $q"),    // p at 1..10,  q at 15..22
+      (3L, s"$r x $r"),              // within-doc repeat: 1 distinct doc, excluded
+      (4L, "s1 s2 s3 s4 s5 s6 s7")   // < 8 tokens: no windows at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(corpus, w = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    // the 10-token shared passage = 3 overlapping 8-windows merged into one
+    // span; the 8-token shared tail = 1 window = its own span
+    assert(got === Set(
+      (1L, 3L, 12L, 3L), (1L, 16L, 23L, 1L),
+      (2L, 1L, 10L, 3L), (2L, 15L, 22L, 1L)))
+  }
+
   test("ivfTopK construction runs exactly 2 driver jobs: 1 vector lookup + 1 probe") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = Similarity.materializedIndex(spark, e, tag = sf)

@@ -110,4 +110,31 @@ class SamplingSearchSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(salted === ref)
   }
+
+  test("tokenBudget: two-phase bucket histogram == naive running-prefix definition") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val budget = 600L
+    val got = rows(Sampling.tokenBudget(docs, budget))
+    // naive reference: ONE running-total window per source (the stratum-sized
+    // sort the two-phase plan exists to avoid)
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      conv(substring(md5(concat(lit("bud:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10000L as "bucket")
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = rows(base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens")))
+    assert(got === ref)
+    // the budget binds: every source's kept prefix fits, is non-empty on this
+    // corpus, and is MAXIMAL (the reference's first excluded doc overflows —
+    // implied by set equality; spot-check the fit here)
+    assert(got.nonEmpty)
+    assert(got.forall(_._4 <= budget))
+    val perSource = got.groupBy(_._2).view.mapValues(_.map(_._4).max)
+    perSource.foreach { case (src, m) => assert(m <= budget, s"$src overflows: $m") }
+  }
 }
