@@ -50,6 +50,10 @@ object OpsEntries {
     // into maximal per-doc spans (gaps-and-islands)
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatePassages(Dedup.derivedCorpus(docs(s, dir)))),
+    // the span CUT itself: every doc re-emitted with its duplicated
+    // passages removed (per-row HOF filter against the folded span arrays)
+    "curate_cut_spans" -> ((s, dir) =>
+      Dedup.cutPassages(Dedup.derivedCorpus(docs(s, dir)))),
     // the dedup DECISION: connected components over near-dup pairs pick one
     // survivor per cluster (iterative large-star/small-star CC on a
     // data-derived graph; oracle = recursive-CTE reachability)
@@ -84,6 +88,9 @@ object OpsEntries {
     // per-source TOKEN-budget fill: two-phase bucket-histogram prefix scan
     // (no stratum-sized sort); kept set == the naive running-total prefix
     "curate_token_budget" -> ((s, dir) => Sampling.tokenBudget(docs(s, dir))),
+    // exact per-language quality PERCENTILE cut via the bounded-domain
+    // histogram (no stratum-sized ranking window anywhere)
+    "curate_quality_topp" -> ((s, dir) => TextOps.qualityTopP(docs(s, dir))),
     // ---- similarity search -------------------------------------------------
     "sim_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     // all-pairs thresholded k-NN join: sign-band LSH blocking + two-level
@@ -511,15 +518,16 @@ object OpsEntries {
        |  FROM emb JOIN cand USING (vec_id), qe)
        |QUALIFY rank <= 10""".stripMargin
 
-  /** Oracle for dedup_spans: identical 60-bit window fingerprints
-    * ([[duckHash60]] == Spark's conv-of-md5, so even a fingerprint collision
-    * matches both sides), cross-document frequency cut, and the same
-    * gaps-and-islands interval merge. w = 8 tokens (DuckDB slice ts[i:i+7]
-    * is INCLUSIVE — 8 elements, mirroring Spark's slice(ts, i, 8)).
+  /** Shared CTE prefix of the dedup_spans / curate_cut_spans oracles:
+    * identical 60-bit window fingerprints ([[duckHash60]] == Spark's
+    * conv-of-md5, so even a fingerprint collision matches both sides),
+    * cross-document frequency cut, and the same gaps-and-islands interval
+    * merge, ending at `il` (one row per surviving window, island-tagged).
+    * w = 8 tokens (DuckDB slice ts[i:i+7] is INCLUSIVE — 8 elements,
+    * mirroring Spark's slice(ts, i, 8)).
     */
-  private val dedupSpansSql: String =
-    s"""$corpusCte,
-       |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+  private val spanIslandCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
        |wh AS (SELECT doc_id, i AS start_,
        |         ${duckHash60("array_to_string(ts[i:i+7], ' ')")} AS h
        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM tok)),
@@ -533,11 +541,37 @@ object OpsEntries {
        |il AS (SELECT doc_id, start_, end_,
        |         sum(CASE WHEN pmax IS NULL OR start_ > pmax + 1 THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY doc_id ORDER BY start_ ROWS UNBOUNDED PRECEDING) AS isl
-       |       FROM fl)
+       |       FROM fl)""".stripMargin
+
+  private val dedupSpansSql: String =
+    s"""$corpusCte,
+       |$spanIslandCtes
        |SELECT doc_id, CAST(min(start_) AS BIGINT) AS span_start,
        |       CAST(max(end_) AS BIGINT) AS span_end,
        |       CAST(count(*) AS BIGINT) AS n_windows
        |FROM il GROUP BY doc_id, isl""".stripMargin
+
+  /** Oracle for curate_cut_spans: the span mechanics above, folded to
+    * per-doc span arrays, then the same filter-by-position token cut
+    * (DuckDB lambda index i is 1-based == the Spark side's i + 1).
+    */
+  private val cutSpansSql: String =
+    s"""$corpusCte,
+       |$spanIslandCtes,
+       |sp AS (SELECT doc_id, CAST(min(start_) AS BIGINT) AS s,
+       |              CAST(max(end_) AS BIGINT) AS e
+       |       FROM il GROUP BY doc_id, isl),
+       |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp GROUP BY doc_id)
+       |-- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+       |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+       |       coalesce(array_to_string(list_transform(kept, x -> x.t), ' '), '') AS clean_text
+       |FROM (SELECT c2.doc_id,
+       |        list_filter(list_transform(string_split(c2.text, ' '),
+       |            (t, i) -> {'t': t, 'p': CAST(i AS BIGINT)}),
+       |          x -> len(list_filter(coalesce(sl.spans,
+       |                 CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+       |            sp2 -> x.p >= sp2.s AND x.p <= sp2.e)) = 0) AS kept
+       |      FROM corpus c2 LEFT JOIN spl sl USING (doc_id))""".stripMargin
 
   /** Oracle for sim_ivf_pq_topk: the k-means prefix, residuals, the SEEDED
     * per-subspace codebooks (residual sub-vectors of vec_id < 16), argmin
@@ -720,6 +754,24 @@ object OpsEntries {
          |FROM corpus""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardSql(1, 5),
     "dedup_spans" -> dedupSpansSql,
+    "curate_cut_spans" -> cutSpansSql,
+    // the oracle states the NAIVE percentile definition (rank whole stratum,
+    // v = the k-th doc's quality); the Spark plan's bounded-domain histogram
+    // must pick the identical threshold
+    "curate_quality_topp" ->
+      s"""WITH qd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         |        CAST(floor(10000.0 * (1.0 - 1.0 * ns / nt) * least(nt, 64) / 64.0) AS BIGINT) AS quality_e4
+         |      FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt,
+         |              len(list_filter(string_split(text, ' '),
+         |                  t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns
+         |            FROM documents)),
+         |nn AS (SELECT lang, count(*) AS n FROM qd GROUP BY 1),
+         |r AS (SELECT qd.*, row_number() OVER (PARTITION BY lang
+         |        ORDER BY quality_e4 DESC, doc_id ASC) AS rk FROM qd),
+         |v AS (SELECT r.lang, min(quality_e4) AS v FROM r JOIN nn USING (lang)
+         |      WHERE rk <= (nn.n * 1) // 2 GROUP BY 1)
+         |SELECT qd.doc_id, qd.lang, qd.quality_e4
+         |FROM qd JOIN v USING (lang) WHERE qd.quality_e4 >= v.v""".stripMargin,
     "dedup_minhash_lsh" -> jaccardSql(1, 2),
     "dedup_minhash_lsh_16x2" -> minhashLsh16x2Sql,
     "dedup_simhash" -> simhashSql,

@@ -686,4 +686,35 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
   }
+
+  /** The CUT that [[duplicatePassages]] exists for — Lee et al.'s actual
+    * transformation: every doc re-emitted with its cross-document-duplicated
+    * spans REMOVED (exact copies collapse to empty, boilerplate passages
+    * vanish everywhere, unique text survives verbatim). One hash-agg folds
+    * the spans to a per-doc array (spans-per-doc is bounded by
+    * tokens-per-doc/w — a per-row payload, never a skew risk), a left join
+    * hands each doc its spans, and the cut itself is a per-row
+    * filter-by-position over the token array (codegen'd HOFs, no shuffle
+    * beyond the span agg + join). Docs with no duplicated span pass through
+    * unchanged via the empty-array coalesce.
+    * Output: (doc_id, n_tokens_kept, clean_text).
+    */
+  def cutPassages(corpus: DataFrame, w: Int = 8): DataFrame = {
+    val spans = duplicatePassages(corpus, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    corpus.select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("cast(array() as array<struct<s:bigint,e:bigint>>)")))
+      // explicit-name SQL lambdas (nested Column-API lambdas mis-bind)
+      .withColumn("kept", expr(
+        """filter(transform(split(text, ' '),
+          |         (t, i) -> named_struct('t', t, 'p', cast(i + 1 as bigint))),
+          |       x -> NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        expr("array_join(transform(kept, x -> x.t), ' ')").as("clean_text"))
+  }
 }

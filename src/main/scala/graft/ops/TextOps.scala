@@ -224,6 +224,46 @@ object TextOps {
     * fixed-point integers / strings so the cut is bit-exact on both sides.
     * Output: (doc_id, pred_lang, n_tokens, quality_e4) of kept docs.
     */
+  /** PERCENTILE quality cut — "keep the best p of every language", the
+    * relative-threshold companion to [[curate]]'s absolute gate (an absolute
+    * cut drifts as the corpus mix shifts; production pipelines pin the kept
+    * FRACTION per stratum). Semantics: per lang, v = the quality_e4 of the
+    * ⌊n·p⌋-th doc in (quality desc, doc_id asc) order; keep every doc with
+    * quality_e4 ≥ v (boundary TIES are kept — a value threshold, the
+    * standard quality-filter contract; p = pNumer/pDenom in exact integer
+    * arithmetic).
+    *
+    * An exact per-stratum percentile normally means ranking a whole stratum
+    * — the sort-a-language-on-one-task failure [[Sampling.stratifiedTopK]]
+    * avoids. quality_e4 lives in the BOUNDED domain [0, 10⁴], so the
+    * two-phase histogram restatement is exact:
+    *   1. one hash-agg to (lang, quality_e4) counts — ≤ |langs|·10⁴ rows,
+    *      metadata-scale at any corpus size;
+    *   2. top-down running totals + the threshold pick, windowed over that
+    *      tiny relation only;
+    *   3. one broadcast join + filter over the corpus — map-side, no
+    *      doc-level ordering anywhere.
+    * Strata with ⌊n·p⌋ = 0 keep nothing (the k ≥ 1 guard).
+    * Output: (doc_id, lang, quality_e4) of kept docs.
+    */
+  def qualityTopP(docs: DataFrame, pNumer: Int = 1, pDenom: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      col("text"))
+      .join(quality(docs).select(col("doc_id"), col("quality_e4")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_e4"))
+    val wTop = Window.partitionBy(col("lang")).orderBy(col("quality_e4").desc)
+    val v = q.groupBy(col("lang"), col("quality_e4")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wTop))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("k", expr(s"(n * $pNumer) div $pDenom"))
+      .where(col("k") >= 1 && col("cum") >= col("k"))
+      .groupBy(col("lang")).agg(max(col("quality_e4")).as("v"))
+    q.join(broadcast(v), "lang")
+      .where(col("quality_e4") >= col("v"))
+      .select(col("doc_id"), col("lang"), col("quality_e4"))
+  }
+
   def curate(docs: DataFrame, minQualityE4: Long = 7000L,
       langs: Seq[String] = Seq("en")): DataFrame = {
     val corpus = Dedup.derivedCorpus(docs)

@@ -361,6 +361,15 @@ class OpsSpec extends SparkTestBase {
     assert(got === Set(
       (1L, 3L, 12L, 3L), (1L, 16L, 23L, 1L),
       (2L, 1L, 10L, 3L), (2L, 15L, 22L, 1L)))
+    // the cut removes exactly the spanned tokens; span-free docs (the
+    // within-doc repeat, the short doc) pass through verbatim
+    val cut = Dedup.cutPassages(corpus, w = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(cut === Set(
+      (1L, 5L, "a1 a2 b1 b2 b3"),
+      (2L, 4L, "c1 c2 c3 c4"),
+      (3L, 17L, s"$r x $r"),
+      (4L, 7L, "s1 s2 s3 s4 s5 s6 s7")))
   }
 
   test("ivfTopK construction runs exactly 2 driver jobs: 1 vector lookup + 1 probe") {

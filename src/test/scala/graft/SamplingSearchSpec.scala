@@ -137,4 +137,31 @@ class SamplingSearchSpec extends SparkTestBase {
     val perSource = got.groupBy(_._2).view.mapValues(_.map(_._4).max)
     perSource.foreach { case (src, m) => assert(m <= budget, s"$src overflows: $m") }
   }
+
+  test("qualityTopP: histogram threshold == naive whole-stratum ranking definition") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("doc_id", "lang", "quality_e4").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = rows(TextOps.qualityTopP(docs))
+    // naive reference: rank each whole language, v = the k-th doc's quality,
+    // keep quality >= v (boundary ties kept)
+    val q = TextOps.quality(docs).select(col("doc_id"), col("quality_e4"))
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_e4").desc, col("doc_id").asc)
+    val n = q.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val v = q.join(n, "lang").withColumn("rk", row_number().over(w))
+      .where(col("rk") <= expr("n div 2"))
+      .groupBy(col("lang")).agg(min(col("quality_e4")).as("v"))
+    val ref = rows(q.join(v, "lang").where(col("quality_e4") >= col("v")))
+    assert(got === ref)
+    // the cut keeps at least half of every stratum (ties only ADD docs) and
+    // strictly less than all of it on this corpus
+    val total = docs.groupBy(col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got.groupBy(_._2).foreach { case (lang, kept) =>
+      assert(kept.size >= total(lang) / 2, s"$lang kept ${kept.size}/${total(lang)}")
+      assert(kept.size < total(lang), s"$lang kept everything")
+    }
+  }
 }
