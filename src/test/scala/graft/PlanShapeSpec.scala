@@ -55,6 +55,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe scan not partition-pruned:\n$idxScan")
   }
 
+  test("compressed-index probes: codes-only pruned scans (no raw embeddings read)") {
+    for ((name, dirTag) <- Seq("sim_ivf_sq_topk" -> "graft-ivf-sq-index",
+                               "sim_ivf_pq_topk" -> "graft-ivf-pq-index")) {
+      val p = plan(name)
+      val idxScan = p.linesIterator
+        .filter(l => l.contains("FileScan parquet") && l.contains(dirTag))
+        .mkString("\n")
+      assert(idxScan.contains("PartitionFilters: [cell_id"),
+        s"$name probe scan not partition-pruned:\n$idxScan")
+      // the per-vector payload the probe reads is the CODES, never the
+      // raw embedding column — the point of the compressed index
+      assert(idxScan.contains("code") && !idxScan.contains("emb,") &&
+        !idxScan.contains("ReadSchema: struct<vec_id:bigint,emb"),
+        s"$name probe scan reads more than codes:\n$idxScan")
+    }
+  }
+
   test("fused dedup write: the dedup agg reuses the layout shuffle (one fewer exchange)") {
     import org.apache.spark.sql.functions.col
     val postings = graft.kg.io.SyntheticCorpus.postings(spark, sf)
