@@ -30,6 +30,12 @@ object OpsEntries {
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     // eval-set n-gram containment decontamination (broadcast eval shingles)
     "curate_decontaminate" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
+    // Gopher-style document gate: per-rule 0/1 flag columns + kept verdict
+    "curate_gopher" -> ((s, dir) => TextOps.gopherFilter(docs(s, dir))),
+    // source-level quality gate: source-cardinality agg + broadcast verdicts
+    "curate_source_gate" -> ((s, dir) => TextOps.sourceGate(docs(s, dir))),
+    // first BPE merge iteration: corpus-wide adjacent-pair frequency top-k
+    "text_bpe_merges" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
     // ---- dedup -------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -673,6 +679,59 @@ object OpsEntries {
         |       THEN floor(10000.0 * coalesce(tb.top_n, 0) / (st.nt - 1))
         |       ELSE 0 END AS BIGINT) AS top_bigram_ratio_e4
         |FROM st LEFT JOIN tb USING (doc_id)""".stripMargin,
+    // every Gopher rule restated in SQL over the same split; thresholds are
+    // exact integers so the cut is bit-identical
+    "curate_gopher" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                     string_split(text, ' ') AS ts FROM documents),
+        |st AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt,
+        |         CAST(len(list_distinct(ts)) AS BIGINT) AS nd,
+        |         CAST(len(list_distinct(list_filter(ts,
+        |              t -> t IN ('the', 'a', 'und', 'mit')))) AS BIGINT) AS ndstop,
+        |         CAST(list_sum(list_transform(ts, t -> len(t))) AS BIGINT) AS sumlen
+        |       FROM base),
+        |bg AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS b
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM base)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n FROM bc GROUP BY 1),
+        |fl AS (SELECT st.doc_id, st.nt,
+        |         CASE WHEN st.nt < 40 OR st.nt > 10000 THEN 1 ELSE 0 END AS f_len,
+        |         CASE WHEN floor(10000.0 * st.sumlen / st.nt) < 30000
+        |                OR floor(10000.0 * st.sumlen / st.nt) > 100000 THEN 1 ELSE 0 END AS f_mwl,
+        |         CASE WHEN st.ndstop < 2 THEN 1 ELSE 0 END AS f_stop,
+        |         CASE WHEN floor(10000.0 * (st.nt - st.nd) / st.nt) > 6500 THEN 1 ELSE 0 END AS f_dup,
+        |         CASE WHEN st.nt > 1 AND
+        |              floor(10000.0 * coalesce(tb.top_n, 0) / (st.nt - 1)) > 800
+        |              THEN 1 ELSE 0 END AS f_bigram
+        |       FROM st LEFT JOIN tb USING (doc_id))
+        |SELECT doc_id, nt AS n_tokens,
+        |  CAST(f_len AS BIGINT) AS f_len, CAST(f_mwl AS BIGINT) AS f_mwl,
+        |  CAST(f_stop AS BIGINT) AS f_stop, CAST(f_dup AS BIGINT) AS f_dup,
+        |  CAST(f_bigram AS BIGINT) AS f_bigram,
+        |  CAST(CASE WHEN f_len + f_mwl + f_stop + f_dup + f_bigram = 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM fl""".stripMargin,
+    // source verdicts from the same per-doc quality expression; integer
+    // floor-div mean; kept docs = join back on cleared sources
+    "curate_source_gate" ->
+      s"""WITH qd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |        CAST(floor(10000.0 * (1.0 - 1.0 * ns / nt) * least(nt, 64) / 64.0) AS BIGINT) AS q
+         |      FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+         |              len(list_filter(string_split(text, ' '),
+         |                  t -> t IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS ns
+         |            FROM documents)),
+         |sv AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+         |         CAST(sum(q) // count(*) AS BIGINT) AS src_mean_q_e4
+         |       FROM qd GROUP BY 1
+         |       HAVING count(*) >= 10 AND sum(q) // count(*) >= 6900)
+         |SELECT qd.doc_id, qd.source, sv.src_docs, sv.src_mean_q_e4
+         |FROM qd JOIN sv USING (source)""".stripMargin,
+    "text_bpe_merges" ->
+      """WITH base AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT array_to_string(ts[i:i+1], ' ') AS pair
+        |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM base))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin,
     // same distinct-5-gram relation on both sides; eval slice = doc_id % 97 = 3;
     // flag at >= 50% containment of the eval doc's shingles
     "curate_decontaminate" ->

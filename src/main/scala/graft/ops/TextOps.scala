@@ -179,6 +179,104 @@ object TextOps {
           .otherwise(lit(0L)).cast("long").as("top_bigram_ratio_e4"))
   }
 
+  /** Gopher-style DOCUMENT filter (Rae et al. 2021 §A1.1, public rule set) —
+    * the one-pass absolute gate pipelines run before any pairwise work. Each
+    * rule is a 0/1 FLAG column (1 = rule failed) so downstream can audit WHY
+    * a doc fell, plus `kept` = all-pass; thresholds are exact integers (e4
+    * fixed-point), calibrated to this corpus so every rule actually bins the
+    * data (sf0.01: token floor cuts ~34%, stopword rule ~37%, dup-token
+    * ~mid, top-bigram ~7%):
+    *   f_len    — n_tokens outside [40, 10000]
+    *   f_mwl    — mean token length outside [3, 10] chars (e4)
+    *   f_stop   — fewer than 2 DISTINCT stopwords present (Gopher's
+    *              "contains ≥2 of the stop set" requirement)
+    *   f_dup    — duplicate-token fraction > 0.65
+    *   f_bigram — most-frequent-bigram fraction > 0.08
+    * Shape: ONE corpus scan; every signal except the bigram top is a per-row
+    * expression (no shuffle); the bigram top is the [[repetition]] explode →
+    * two partial-aggregatable hash-aggs. At 10^12 docs this is scan-bound —
+    * exactly what a first-stage gate must be.
+    * Output: (doc_id, n_tokens, f_len, f_mwl, f_stop, f_dup, f_bigram, kept).
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("ts"))
+    val st = base.select(col("doc_id"),
+      size(col("ts")).cast("long").as("nt"),
+      size(array_distinct(col("ts"))).cast("long").as("nd"),
+      size(array_distinct(filter(col("ts"),
+        t => t.isin(stopwords.map(lit): _*)))).cast("long").as("ndstop"),
+      expr("aggregate(transform(ts, t -> cast(length(t) as bigint)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)").as("sumlen"))
+    val top = base.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2, expr(
+        "transform(sequence(1, size(ts) - 1), i -> array_join(slice(ts, i, 2), ' '))"))
+        .otherwise(expr("cast(array() as array<string>)"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_n"))
+    val mwlE4 = floor(lit(10000.0) * col("sumlen") / col("nt")).cast("long")
+    val dupE4 = floor(lit(10000.0) * (col("nt") - col("nd")) / col("nt")).cast("long")
+    val bigE4 = when(col("nt") > 1, floor(lit(10000.0) *
+      coalesce(col("top_n"), lit(0L)) / (col("nt") - 1))).otherwise(lit(0L)).cast("long")
+    val flagged = st.join(top, Seq("doc_id"), "left").select(
+      col("doc_id"), col("nt").as("n_tokens"),
+      when(col("nt") < 40 || col("nt") > 10000, 1L).otherwise(0L).as("f_len"),
+      when(mwlE4 < 30000L || mwlE4 > 100000L, 1L).otherwise(0L).as("f_mwl"),
+      when(col("ndstop") < 2, 1L).otherwise(0L).as("f_stop"),
+      when(dupE4 > 6500L, 1L).otherwise(0L).as("f_dup"),
+      when(bigE4 > 800L, 1L).otherwise(0L).as("f_bigram"))
+    flagged.withColumn("kept",
+      when(col("f_len") + col("f_mwl") + col("f_stop") + col("f_dup") +
+        col("f_bigram") === 0L, 1L).otherwise(0L))
+  }
+
+  /** SOURCE-level gate — the domain/dump-level filter of public web
+    * pipelines (C4's blocklists, RefinedWeb/FineWeb per-dump curation): score
+    * every SOURCE by the mean quality of its documents, then keep documents
+    * whose source clears (mean_quality ≥ 6900 e4, floor-div exact) and has
+    * enough mass to trust the estimate (≥ 10 docs). Per-doc thresholds can't
+    * catch a systematically-bad source whose individual docs each squeak by;
+    * the source aggregate can.
+    * Shape: corpus scan with per-row quality exprs → hash-agg keyed by
+    * `source` (output is SOURCE-cardinality — metadata-scale: domains number
+    * millions while docs number trillions) → broadcast the source verdicts
+    * back over the corpus → map-side filter. Two scans of nothing but the
+    * corpus; no doc-level shuffle at all.
+    * Output: (doc_id, source, src_docs, src_mean_q_e4) of kept docs.
+    */
+  def sourceGate(docs: DataFrame, minMeanQE4: Long = 6900L,
+      minDocs: Long = 10L): DataFrame = {
+    val q = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .join(quality(docs).select(col("doc_id"), col("quality_e4")), "doc_id")
+    val bySrc = q.groupBy(col("source")).agg(
+      count(lit(1)).as("src_docs"),
+      expr("sum(quality_e4) div count(1)").as("src_mean_q_e4"))
+      .where(col("src_docs") >= minDocs && col("src_mean_q_e4") >= minMeanQE4)
+    q.join(broadcast(bySrc), "source")
+      .select(col("doc_id"), col("source"), col("src_docs"), col("src_mean_q_e4"))
+  }
+
+  /** Tokenizer-training preprocessing — the corpus-wide adjacent-pair
+    * frequency table, i.e. the FIRST iteration of BPE merge selection
+    * (Sennrich et al. 2016, public algorithm): count every adjacent token
+    * pair across the corpus, return the top candidates (count desc, pair asc
+    * — fully deterministic under ties). Full BPE iterates this K times over
+    * a shrinking symbol stream; the per-iteration Spark job is EXACTLY this
+    * shape, so one verified iteration pins the construction.
+    * Shape: scan → explode pairs → hash-agg (partial map-side combine makes
+    * the shuffle vocabulary²-bounded, not corpus-bounded) →
+    * TakeOrderedAndProject (never a full sort).
+    * Output: top-`k` (pair, cnt).
+    */
+  def bpePairs(docs: DataFrame, k: Int = 30): DataFrame =
+    docs.select(split(col("text"), " ").as("ts"))
+      .select(explode(when(size(col("ts")) >= 2, expr(
+        "transform(sequence(1, size(ts) - 1), i -> array_join(slice(ts, i, 2), ' '))"))
+        .otherwise(expr("cast(array() as array<string>)"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   /** Eval-set DECONTAMINATION — the n-gram containment check every serious
     * pretraining pipeline runs before training (public practice since GPT-2's
     * 8-gram overlap appendix): flag a training doc when it contains ≥ 50% of

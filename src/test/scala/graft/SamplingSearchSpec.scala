@@ -164,4 +164,63 @@ class SamplingSearchSpec extends SparkTestBase {
       assert(kept.size < total(lang), s"$lang kept everything")
     }
   }
+
+  test("gopherFilter: each rule fires on its planted violator, clean doc keeps") {
+    import spark.implicits._
+    // 46 distinct 4+-char fillers + both stopwords: passes every rule
+    val filler = (1 to 46).map(i => s"tok$i")
+    val clean = (filler ++ Seq("the", "a")).mkString(" ")
+    // 20 tokens: under the 40 floor but long enough (nt ≥ 14) that a unique
+    // top bigram stays under the 0.08 ratio — f_len fires alone
+    val short = (Seq("the", "a") ++ (1 to 18).map(i => s"tok$i")).mkString(" ")
+    val noStop = (1 to 48).map(i => s"tok$i").mkString(" ")   // f_stop only
+    // 2-char distinct tokens + the two stopwords: mean len < 3 (f_mwl);
+    // 'a' drags the mean further down, everything else passes
+    val thin = ((1 to 46).map(i => f"${('a' + i / 26).toChar}${('a' + i % 26).toChar}") ++
+      Seq("th", "the", "a")).mkString(" ")
+    // "xx yy" ×5 → top bigram 5/47 > 0.08, but only 8/48 dup tokens
+    val loop = (Seq.fill(5)("xxxx yyyy") ++ (1 to 36).map(i => s"tok$i") ++
+      Seq("the", "a")).mkString(" ")
+    // 46 copies of one token: dup (and trivially bigram) fire
+    val dup = (Seq.fill(46)("zzzz") ++ Seq("the", "a")).mkString(" ")
+    val corpus = Seq(1L -> clean, 2L -> short, 3L -> noStop, 4L -> thin,
+      5L -> loop, 6L -> dup).toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(corpus).collect().map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 0L, 1L)), s"clean: ${out(1L)}")
+    assert(out(2L) === ((1L, 0L, 0L, 0L, 0L, 0L)), s"short: ${out(2L)}")
+    assert(out(3L) === ((0L, 0L, 1L, 0L, 0L, 0L)), s"noStop: ${out(3L)}")
+    assert(out(4L) === ((0L, 1L, 0L, 0L, 0L, 0L)), s"thin: ${out(4L)}")
+    assert(out(5L) === ((0L, 0L, 0L, 0L, 1L, 0L)), s"loop: ${out(5L)}")
+    assert(out(6L)._4 === 1L && out(6L)._6 === 0L, s"dup: ${out(6L)}")
+  }
+
+  test("sourceGate: bad-mean source and thin source drop, their docs vanish") {
+    import spark.implicits._
+    // quality_e4 = (1-stop_ratio)*min(nt,64)/64: 64 non-stop tokens → 10000,
+    // all-stopword docs → 0
+    val good = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val bad = Seq.fill(8)("the a und mit").mkString(" ")
+    val rows =
+      (1 to 10).map(i => (i.toLong, good, "srcA")) ++
+      (11 to 20).map(i => (i.toLong, bad, "srcB")) ++
+      (21 to 22).map(i => (i.toLong, good, "srcC")) // < minDocs
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val out = TextOps.sourceGate(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    assert(out.forall { case (id, src, n, m) =>
+      id <= 10 && src == "srcA" && n == 10L && m == 10000L })
+  }
+
+  test("bpePairs: exact pair counts, deterministic (cnt desc, pair asc) order") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "c d"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextOps.bpePairs(corpus, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a b", 2L), ("b a", 1L)))
+    val p = TextOps.bpePairs(docs).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k, not a sort:\n$p")
+  }
 }
