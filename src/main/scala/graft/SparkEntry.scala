@@ -111,6 +111,15 @@ object SparkEntry {
     // -- R13 connected-components canonicalization ---------------------------
     "kg_canonical" -> ((s, dir) =>
       Pipeline.canonicalSurfaces(spans(s, dir), Dictionaries.titlesDf(s))),
+    // -- graph analytics over the emitted KG: entity co-occurrence graph -----
+    "kg_entity_pagerank" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.pagerank(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
+    "kg_entity_triangles" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.triangles(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- R7 heading-proximity skills: range join on (doc_id, |offset diff|) --
     // in the synthetic corpus every skill li span lies within 3 offsets of a
     // footer anchor (nsk <= 3), so this shares the skills oracle
@@ -237,6 +246,74 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  private val allTriplesOracle: String =
+    s"""SELECT subj, pred, obj FROM (
+       |  SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents
+       |  UNION ALL
+       |  SELECT $subj, 'postedBy' AS pred, printf('C%02d', doc_id % 15) AS obj FROM documents
+       |  UNION ALL
+       |  SELECT $subj, 'locatedIn' AS pred, printf('LOC%02d', (doc_id // 2) % 12) AS obj
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT $subj, 'requiresLanguage' AS pred, l.obj AS obj FROM documents d
+       |  JOIN (VALUES (0, 'LANG00'), (0, 'LANG01'), (2, 'LANG00'), (2, 'LANG01'),
+       |               (1, 'LANG02')) l(m, obj) ON d.doc_id % 4 = l.m
+       |  UNION ALL
+       |  SELECT $subj, 'hasWorkload' AS pred,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN printf('%d-%d', 20 + 10 * ((doc_id // 3) % 8), 30 + 10 * ((doc_id // 3) % 8))
+       |         ELSE printf('%d-%d', 10 * ((doc_id // 3) % 9 + 1), 10 * ((doc_id // 3) % 9 + 1))
+       |    END AS obj
+       |  FROM documents WHERE doc_id % 3 < 2
+       |  UNION ALL
+       |  SELECT DISTINCT $subj, 'requiresSkill' AS pred,
+       |    printf('S%03d', ${skillIdxSql("j")}) AS obj
+       |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4 - 1)) AS j FROM documents)
+       |)""".stripMargin
+
+  /** Shared CTE prefix for the graph-analytics oracles: the full triple
+    * relation, its doc→entity projection, and the symmetric distinct
+    * co-occurrence edge set with source degrees — stated from the same
+    * closed-form triple oracle the kg_all_triples pairing verifies.
+    */
+  private val coocCtes: String =
+    s"""WITH triples AS ($allTriplesOracle),
+       |ent AS (SELECT DISTINCT subj AS d, obj AS e FROM triples),
+       |edges AS (SELECT DISTINCT a.e AS x, b.e AS y
+       |          FROM ent a JOIN ent b ON a.d = b.d AND a.e <> b.e),
+       |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1)""".stripMargin
+
+  /** Integer PageRank, the SAME three iterations unrolled (damping 85/100,
+    * jump 150000, floor-div contributions) — bit-exact vs GraphOps.pagerank.
+    */
+  private val entityPagerankOracle: String = {
+    def step(prev: String, out: String) =
+      s"""$out AS (SELECT e.y AS n,
+         |  CAST(150000 + sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS r
+         |  FROM edges e JOIN $prev r ON e.x = r.n JOIN deg d ON e.x = d.x
+         |  GROUP BY 1)""".stripMargin
+    s"""$coocCtes,
+       |r0 AS (SELECT x AS n, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT n AS entity, r AS rank_e6 FROM r3""".stripMargin
+  }
+
+  /** Per-entity triangle counts from the plain x<y orientation — the Spark
+    * side enumerates via the degree-ordered orientation; identical counts
+    * is the orientation-independence the pairing proves.
+    */
+  private val entityTrianglesOracle: String =
+    s"""$coocCtes,
+       |und AS (SELECT x, y FROM edges WHERE x < y),
+       |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       |        FROM und e1 JOIN und e2 ON e1.y = e2.x
+       |        JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y),
+       |pern AS (SELECT a AS entity FROM tri UNION ALL SELECT b FROM tri
+       |         UNION ALL SELECT c FROM tri)
+       |SELECT entity, CAST(count(*) AS BIGINT) AS n_tri FROM pern GROUP BY 1""".stripMargin
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -293,30 +370,9 @@ object SparkEntry {
          |             (1, 'LANG02=fliessend')) l(m, obj)
          |  ON d.doc_id % 4 = l.m""".stripMargin,
     "kg_triples_full" -> triplesFullOracle,
-    "kg_all_triples" ->
-      s"""SELECT subj, pred, obj FROM (
-         |  SELECT $subj, 'hasTitle' AS pred, printf('T%03d', doc_id % 20) AS obj FROM documents
-         |  UNION ALL
-         |  SELECT $subj, 'postedBy' AS pred, printf('C%02d', doc_id % 15) AS obj FROM documents
-         |  UNION ALL
-         |  SELECT $subj, 'locatedIn' AS pred, printf('LOC%02d', (doc_id // 2) % 12) AS obj
-         |  FROM documents WHERE doc_id % 2 = 0
-         |  UNION ALL
-         |  SELECT $subj, 'requiresLanguage' AS pred, l.obj AS obj FROM documents d
-         |  JOIN (VALUES (0, 'LANG00'), (0, 'LANG01'), (2, 'LANG00'), (2, 'LANG01'),
-         |               (1, 'LANG02')) l(m, obj) ON d.doc_id % 4 = l.m
-         |  UNION ALL
-         |  SELECT $subj, 'hasWorkload' AS pred,
-         |    CASE WHEN doc_id % 3 = 0
-         |         THEN printf('%d-%d', 20 + 10 * ((doc_id // 3) % 8), 30 + 10 * ((doc_id // 3) % 8))
-         |         ELSE printf('%d-%d', 10 * ((doc_id // 3) % 9 + 1), 10 * ((doc_id // 3) % 9 + 1))
-         |    END AS obj
-         |  FROM documents WHERE doc_id % 3 < 2
-         |  UNION ALL
-         |  SELECT DISTINCT $subj, 'requiresSkill' AS pred,
-         |    printf('S%03d', ${skillIdxSql("j")}) AS obj
-         |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4 - 1)) AS j FROM documents)
-         |)""".stripMargin,
+    "kg_all_triples" -> allTriplesOracle,
+    "kg_entity_pagerank" -> entityPagerankOracle,
+    "kg_entity_triangles" -> entityTrianglesOracle,
     "kg_canonical" -> canonicalOracle,
     "kg_media_meta" ->
       s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,

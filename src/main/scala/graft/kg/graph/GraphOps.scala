@@ -1,0 +1,100 @@
+package graft.kg.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the MATERIALIZED knowledge graph — the consumption
+  * side of KG construction (SURVEY.md §2: once (subj, pred, obj) triples are
+  * emitted, ranking/structure queries over the entity graph are what users
+  * run on them). Both operators work on the entity CO-OCCURRENCE graph:
+  * entities are linked when they appear in the same posting (the classic
+  * bipartite-projection construction — doc→entity triples projected onto the
+  * entity side). All arithmetic is exact integer fixed-point (e6) so the
+  * DuckDB oracles compare bit-identically, and every iteration is unrolled
+  * identically on both sides.
+  */
+object GraphOps {
+
+  /** Symmetric distinct entity co-occurrence edges (x, y), x ≠ y, from
+    * doc→entity triples. Shape: the per-doc self-join fans out at most
+    * (entities per doc)² rows — bounded by the extraction schema (≤ ~10
+    * entities per posting), never corpus-quadratic — then one distinct.
+    * Hot entities (a skill present in most docs) produce heavy DUPLICATE
+    * edges, not heavy join groups; the distinct's partial aggregation
+    * collapses them map-side before the shuffle.
+    */
+  def coocEdges(triples: DataFrame): DataFrame = {
+    val ent = triples.select(col("subj").as("d"), col("obj").as("e")).distinct()
+    ent.as("a").join(ent.as("b"),
+        col("a.d") === col("b.d") && col("a.e") =!= col("b.e"))
+      .select(col("a.e").as("x"), col("b.e").as("y"))
+      .distinct()
+  }
+
+  /** Integer PageRank over the co-occurrence graph, `iters` synchronous
+    * iterations statically unrolled (damping 85/100, jump mass 0.15e6;
+    * rank_e6 starts at 1e6 per node). Per-edge contribution is the exact
+    * floor (85·r_src) div (100·deg_src) — deterministic, so the oracle's
+    * identically-unrolled loop hash-matches. Every node of a symmetric
+    * graph has deg ≥ 1 and at least one in-edge, so there is no dangling
+    * mass and no disappearing node.
+    *
+    * Shape per iteration: edges ⋈ ranks on the source key → hash-agg by
+    * destination — the canonical Pregel-as-DataFrame step. The edge+degree
+    * relation is loop-invariant: at production scale it is written once
+    * bucketed by `x` (TableIO bucketing) so every iteration's join reuses
+    * the layout without re-shuffling edges; ranks (node-cardinality, tiny
+    * next to edges) are what move each round. Static unrolling keeps ONE
+    * Spark action for the whole computation — no per-iteration driver
+    * round-trip ([[graft.kg.canon.ConnectedComponents]] needs one only for
+    * its convergence test; a fixed-K rank loop does not).
+    * Output: (entity, rank_e6).
+    */
+  def pagerank(triples: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = coocEdges(triples)
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "x")
+    val init = deg.select(col("x").as("n"), lit(1000000L).as("r"))
+    val fin = (1 to iters).foldLeft(init) { (ranks, _) =>
+      ed.join(ranks, col("x") === col("n"))
+        .select(col("y"), expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy(col("y")).agg((sum(col("c")) + lit(150000L)).as("r"))
+        .select(col("y").as("n"), col("r"))
+    }
+    fin.select(col("n").as("entity"), col("r").as("rank_e6"))
+  }
+
+  /** Per-entity triangle counts over the co-occurrence graph — the local
+    * clustering signal (how interlinked an entity's neighborhood is).
+    * Enumeration uses the DEGREE-ORDERED orientation (each undirected edge
+    * points from its lower (deg, id) endpoint): every triangle is counted
+    * exactly once via its smallest vertex, and — the scale property — a hot
+    * entity of degree d contributes join groups bounded by its ORIENTED
+    * out-degree (≤ the number of HIGHER-degree neighbors, O(√m) for any
+    * graph), not d² — the standard mitigation for power-law entity graphs.
+    * The oracle counts the same triangles from the plain x<y orientation;
+    * the per-node counts are provably identical, which is exactly the
+    * orientation-independence the pairing verifies.
+    * Output: (entity, n_tri) for entities in ≥ 1 triangle.
+    */
+  def triangles(triples: DataFrame): DataFrame = {
+    val edges = coocEdges(triples)
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val und = edges.where(col("x") < col("y"))
+    val ord = und
+      .join(deg.select(col("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y"))
+          .otherwise(col("x")).as("dst"))
+    val tri = ord.as("e1")
+      .join(ord.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(ord.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("entity"))
+      .groupBy(col("entity")).agg(count(lit(1)).as("n_tri"))
+  }
+}
