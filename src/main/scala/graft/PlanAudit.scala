@@ -16,7 +16,8 @@ object PlanAudit {
     "kg_all_triples", "kg_skills", "kg_title", "kg_skills_salted",
     "dedup_embedding", "dedup_minhash_lsh", "sim_ivf_topk", "dedup_simhash",
     "dedup_clusters", "sim_ivf_kmeans_topk", "sim_batch_topk", "sim_knn_join",
-    "curate_corpus")
+    "curate_corpus", "kg_entity_pagerank", "kg_entity_triangles",
+    "curate_gopher", "curate_source_gate", "text_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
