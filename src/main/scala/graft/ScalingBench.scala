@@ -102,6 +102,29 @@ object ScalingBench {
       .select(col("doc_id"), col("text"))
       .repartition(partitions, col("doc_id"))
 
+  /** Synthetic doc→entity mention table for the GRAPH scaling phase. The
+    * pipeline's own synthetic KG has a FIXED entity vocabulary (~92
+    * entities from doc_id arithmetic), so its co-occurrence graph stays
+    * metadata-sized no matter how large the corpus grows — fine for
+    * correctness, useless as scaling evidence for an iterated graph
+    * operator. Here the entity space scales with the corpus
+    * (nEnt = max(1000, nDocs/20)) and carries deliberate skew: each doc
+    * mentions 1 of 50 HUB entities (hub degree grows with the corpus — the
+    * hot-key case the degree-ordered/pinned plans must survive) plus 5
+    * long-tail entities (multiplicative doc_id mixing). Deterministic in
+    * (sfDir, repl): every parallelism level reads identical files.
+    */
+  def graphMentions(spark: SparkSession, sfDir: String, repl: Int,
+      partitions: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val nEnt = math.max(1000L, base * repl / 20)
+    replicatedDocs(spark, sfDir, repl, partitions)
+      .selectExpr("doc_id", "explode(sequence(0, 5)) AS j")
+      .selectExpr("concat('D', doc_id) AS subj", "'mentions' AS pred",
+        "CASE WHEN j = 0 THEN concat('H', pmod(doc_id, 50)) " +
+        s"ELSE concat('E', pmod(doc_id * 31 + j * 7919, ${nEnt}L)) END AS obj")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,18 +151,121 @@ object ScalingBench {
       // table is ~40× larger and correctly split at the default — keep it.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART",
-          if (phase == "dedup") "4m" else "128m"))
+          if (phase == "dedup" || phase == "graph") "4m" else "128m"))
       .config("spark.sql.adaptive.enabled", "true")
       // dedup: 16m measured ~5% better than 64m at local[8] — the coalesced
       // shingle/verify stages land at ~10 partitions under 64m, i.e. 1.2
       // ragged waves on 8 cores; 16m keeps 4 even waves at both levels
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY",
-          if (phase == "dedup") "16m" else "64m"))
+          if (phase == "dedup" || phase == "graph") "16m" else "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_STAGELOG=1: per-stage wall + task-time sums on stderr —
+    // the decomposition tool behind the efficiency analyses in BENCH.md
+    // (which stages lose N->4N efficiency: ragged waves show wall >>
+    // taskSum/cpus; memory-subsystem inflation shows taskSum itself growing
+    // with cpus; pure scheduler idle shows neither)
+    if (sys.env.get("SPARK_GRAFT_STAGELOG").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {t1 <- si.completionTime; t0 <- si.submissionTime}
+            yield (t1 - t0) / 1000.0).getOrElse(-1.0)
+          System.err.println(f"[stage] id=${si.stageId} tasks=${si.numTasks} " +
+            f"wall=$wall%.1f taskSum=${si.taskMetrics.executorRunTime / 1000.0}%.1f " +
+            f"gcSum=${si.taskMetrics.jvmGCTime / 1000.0}%.1f " +
+            f"cpuSum=${si.taskMetrics.executorCpuTime / 1e9}%.1f " +
+            f"spillMB=${si.taskMetrics.memoryBytesSpilled / 1048576} " +
+            f"name=${si.name.takeWhile(_ != '(').take(50)}")
+        }
+      })
+
+    if (phase == "graph") {
+      // graph-scaling phase: 3-iteration integer PageRank over the scaled
+      // skewed co-occurrence graph — the iterated-operator evidence the
+      // kg/dedup phases don't cover. Same two-parallelism methodology,
+      // same cached deterministic input files at both levels.
+      def mentionsDirFor(r: Int): String = {
+        val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/tmp/graft-graphmentions-$tag-x$r-v1"
+        val target = java.nio.file.Paths.get(dir)
+        if (!Files.exists(target.resolve("_SUCCESS"))) {
+          val tmp = Files.createTempDirectory(target.getParent, "graft-graphmentions-build")
+          graphMentions(spark, sfDir, r, 64)
+            .write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException
+                if Files.exists(target) =>
+              graft.kg.emit.TableIO.deleteTree(tmp.toString)
+          }
+        }
+        dir
+      }
+      val mentionsDir = mentionsDirFor(repl)
+      // one timed run = derive co-occurrence edges -> write them as the
+      // PRODUCTION layout (64-bucket sorted-by-x parquet table — 64 at BOTH
+      // levels so the file layout is parallelism-independent; one file per
+      // bucket via the matching repartition) -> 3 pagerank iterations
+      // against the bucketed table. This is the documented 100 TB shape:
+      // the edge side of every iteration's join arrives hash-partitioned
+      // (and bucket-sorted) FROM THE SCAN — no per-iteration edge exchange;
+      // only the node-cardinality rank relation moves. (The sf-scale
+      // library default, pinnedEdges/localCheckpoint, re-exchanges edges
+      // every iteration: measured at repl=800 it scales at 0.47 N->4N while
+      // the bucketed path's iterations scale cleanly — the bench runs the
+      // shape we tell users to run at scale.)
+      def oneRun(dir: String, tag: String): (Long, Long, Double) = {
+        val tbl = s"graft_scaling_edges_$tag"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val out = Files.createTempDirectory("graft-edges").toString
+        val t0 = System.nanoTime()
+        // dictionary-encode entities to 64-bit ids INSIDE the timed run —
+        // the production sequence (at scale, canonicalization has already
+        // assigned integer ids; xxhash64 stands in for that dictionary:
+        // 200k entities → collision odds ~1e-9, and GraphOps is
+        // key-type-generic so the same plan runs on either). Long keys
+        // carry ~4× less row weight through the pair-distinct and hash
+        // with no string traversal — measured derive+write 37.5 → TBD s
+        // and the 2→8-core efficiency is what BENCH.md reports.
+        graft.kg.graph.GraphOps.coocEdges(
+            spark.read.parquet(dir).select(
+              xxhash64(col("subj")).as("subj"), col("pred"),
+              xxhash64(col("obj")).as("obj")))
+          .repartition(64, col("x"))
+          .write.bucketBy(64, "x").sortBy("x")
+          .option("path", s"$out/edges").format("parquet").saveAsTable(tbl)
+        val t1 = System.nanoTime()
+        val ranks = graft.kg.graph.GraphOps.pagerankOnEdges(spark.table(tbl), iters = 3)
+        // sum of final ranks forces every iteration; also a cross-run
+        // determinism witness (integer arithmetic -> identical at any cpus)
+        val row = ranks.agg(count(lit(1)).as("n"), sum(col("rank_e6")).as("m")).head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling-graph] nodes=${row.getLong(0)} " +
+          f"rankMass=${row.getLong(1)} derive+write=${(t1 - t0) / 1e9}%.1f s " +
+          f"iterate=${(System.nanoTime() - t1) / 1e9}%.1f s wall=$wall%.1f s")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        TableIO.deleteTree(out)
+        spark.catalog.clearCache()
+        (row.getLong(0), row.getLong(1), wall)
+      }
+      oneRun(mentionsDirFor(math.min(repl, 10)), "warm") // small warm-up, discarded
+      val runs = (1 to nRuns).map(_ => oneRun(mentionsDir, "timed"))
+      val walls = runs.map(_._3).sorted
+      val median = walls(walls.length / 2)
+      println(
+        s"""{"metric":"graph_nodes_per_sec","value":${runs.head._1 / median},""" +
+        s""""unit":"nodes/sec","cpus":$cpus,"nodes":${runs.head._1},""" +
+        s""""rank_mass":${runs.head._2},"wall_sec_median":$median,""" +
+        s""""wall_sec_all":[${walls.mkString(",")}],"sf":"$sfDir","repl":$repl}""")
+      spark.stop()
+      return
+    }
 
     if (phase == "dedup") {
       // dedup-scaling phase (north-rule evidence for the LLM-pipeline ops):
