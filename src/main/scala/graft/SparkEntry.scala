@@ -120,6 +120,10 @@ object SparkEntry {
       graft.kg.graph.GraphOps.triangles(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    "kg_entity_components" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.components(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- R7 heading-proximity skills: range join on (doc_id, |offset diff|) --
     // in the synthetic corpus every skill li span lies within 3 offsets of a
     // footer anchor (nsk <= 3), so this shares the skills oracle
@@ -314,6 +318,22 @@ object SparkEntry {
        |         UNION ALL SELECT c FROM tri)
        |SELECT entity, CAST(count(*) AS BIGINT) AS n_tri FROM pern GROUP BY 1""".stripMargin
 
+  /** Entity communities — reachability closure over the symmetric
+    * co-occurrence edges, min member as the component label; entities with
+    * no edge (none in the synthetic KG's closed form, but the seed keeps
+    * them) label themselves. Verifies the iterative large-star/small-star
+    * fixed point against the DECLARATIVE transitive-closure definition.
+    */
+  private val entityComponentsOracle: String =
+    s"""WITH RECURSIVE ${coocCtes.stripPrefix("WITH ")},
+       |nodes AS (SELECT DISTINCT obj AS n FROM triples),
+       |reach(a, b) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.a, e.y FROM reach r JOIN edges e ON r.b = e.x
+       |)
+       |SELECT a AS entity, min(b) AS component FROM reach GROUP BY a""".stripMargin
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -373,6 +393,7 @@ object SparkEntry {
     "kg_all_triples" -> allTriplesOracle,
     "kg_entity_pagerank" -> entityPagerankOracle,
     "kg_entity_triangles" -> entityTrianglesOracle,
+    "kg_entity_components" -> entityComponentsOracle,
     "kg_canonical" -> canonicalOracle,
     "kg_media_meta" ->
       s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,

@@ -100,6 +100,26 @@ object GraphOps {
     fin.select(col("n").as("entity"), col("r").as("rank_e6"))
   }
 
+  /** Entity COMMUNITIES: connected components over the co-occurrence graph
+    * — which entities are transitively linked through shared postings (the
+    * coarse community structure consumers segment the KG by). Reuses the
+    * R13 large-star/small-star engine ([[graft.kg.canon.ConnectedComponents]]
+    * — O(log n) rounds, groupBy-min + equi-joins only); entities mentioned
+    * in the corpus but co-occurring with nothing keep themselves as
+    * singleton components via one left join (no extra iteration).
+    * Output: (entity, component) for EVERY distinct entity, component = min
+    * member under the id ordering.
+    */
+  def components(triples: DataFrame): DataFrame = {
+    val cc = graft.kg.canon.ConnectedComponents.run(
+      pinnedEdges(triples).select(col("x").as("src"), col("y").as("dst")))
+      .select(col("node").as("entity"), col("component"))
+    triples.select(col("obj").as("entity")).distinct()
+      .join(cc, Seq("entity"), "left")
+      .select(col("entity"),
+        coalesce(col("component"), col("entity")).as("component"))
+  }
+
   /** Per-entity triangle counts over the co-occurrence graph — the local
     * clustering signal (how interlinked an entity's neighborhood is).
     * Enumeration uses the DEGREE-ORDERED orientation (each undirected edge

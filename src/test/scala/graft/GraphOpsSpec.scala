@@ -27,6 +27,16 @@ class GraphOpsSpec extends SparkTestBase {
       ("B", "C"), ("C", "B"), ("C", "D"), ("D", "C")))
   }
 
+  test("components: clique+bridge collapse to one component, isolate keeps itself") {
+    import spark.implicits._
+    // fixture graph is ONE component (C bridges {A,B} to D); E is mentioned
+    // alone in D4 → no edges → singleton component
+    val t = triples.union(Seq(("D4", "m", "E")).toDF("subj", "pred", "obj"))
+    val c = GraphOps.components(t).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(c === Set(("A", "A"), ("B", "A"), ("C", "A"), ("D", "A"), ("E", "E")))
+  }
+
   test("pagerank: one hand-unrolled integer iteration") {
     val r = GraphOps.pagerank(triples, iters = 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
