@@ -124,6 +124,23 @@ object SparkEntry {
       graft.kg.graph.GraphOps.components(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    "kg_entity_pagerank_weighted" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.pagerankWeighted(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
+    // incremental co-occurrence maintenance: base = docs with id%5 != 4
+    // plays the committed half-edge state; the id%5 == 4 shard folds in via
+    // shard-local pair derivation + ONE anti-join (base never rescanned at
+    // the mention level — co-occurrence is per-doc)
+    "kg_cooc_increment" -> ((s, dir) => {
+      val t = Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj"))
+      graft.kg.graph.GraphOps.incrementalCoocEdges(
+        graft.kg.graph.GraphOps.halfCoocEdges(
+          t.where(pmod(col("subj").cast("long"), lit(5)) =!= 4)),
+        t.where(pmod(col("subj").cast("long"), lit(5)) === 4))
+    }),
     // -- R7 heading-proximity skills: range join on (doc_id, |offset diff|) --
     // in the synthetic corpus every skill li span lies within 3 offsets of a
     // footer anchor (nsk <= 3), so this shares the skills oracle
@@ -318,6 +335,48 @@ object SparkEntry {
        |         UNION ALL SELECT c FROM tri)
        |SELECT entity, CAST(count(*) AS BIGINT) AS n_tri FROM pern GROUP BY 1""".stripMargin
 
+  /** Weighted integer PageRank — the same three unrolled iterations with
+    * rank flowing proportionally to co-occurrence strength w (distinct
+    * co-mentioning docs per pair), contributions (85·r·w) // (100·wdeg).
+    */
+  private val entityPagerankWeightedOracle: String = {
+    def step(prev: String, out: String) =
+      s"""$out AS (SELECT e.y AS n,
+         |  CAST(150000 + sum((85 * r.r * e.w) // (100 * d.wdeg)) AS BIGINT) AS r
+         |  FROM wedges e JOIN $prev r ON e.x = r.n JOIN wdeg d ON e.x = d.x
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH triples AS ($allTriplesOracle),
+       |ent AS (SELECT DISTINCT subj AS d, obj AS e FROM triples),
+       |whalf AS (SELECT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y,
+       |                 CAST(count(*) AS BIGINT) AS w
+       |          FROM ent a JOIN ent b ON a.d = b.d AND a.e < b.e
+       |          GROUP BY 1, 2),
+       |wedges AS (SELECT x, y, w FROM whalf
+       |           UNION ALL SELECT y, x, w FROM whalf),
+       |wdeg AS (SELECT x, CAST(sum(w) AS BIGINT) AS wdeg FROM wedges GROUP BY 1),
+       |r0 AS (SELECT x AS n, CAST(1000000 AS BIGINT) AS r FROM wdeg),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT n AS entity, r AS rank_e6 FROM r3""".stripMargin
+  }
+
+  /** Incremental co-occurrence edges — declaratively, the shard-derived
+    * half-pair set minus the base-derived one (EXCEPT); the engine computes
+    * it without touching base mentions (shard-local derivation + one
+    * anti-join against the stored half relation).
+    */
+  private val coocIncrementOracle: String =
+    s"""WITH triples AS ($allTriplesOracle),
+       |ent AS (SELECT DISTINCT subj AS d, obj AS e FROM triples),
+       |basehalf AS (SELECT DISTINCT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y
+       |             FROM ent a JOIN ent b ON a.d = b.d AND a.e < b.e
+       |             WHERE CAST(a.d AS BIGINT) % 5 <> 4),
+       |shardhalf AS (SELECT DISTINCT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y
+       |              FROM ent a JOIN ent b ON a.d = b.d AND a.e < b.e
+       |              WHERE CAST(a.d AS BIGINT) % 5 = 4)
+       |SELECT x, y FROM shardhalf EXCEPT SELECT x, y FROM basehalf""".stripMargin
+
   /** Entity communities — reachability closure over the symmetric
     * co-occurrence edges, min member as the component label; entities with
     * no edge (none in the synthetic KG's closed form, but the seed keeps
@@ -394,6 +453,8 @@ object SparkEntry {
     "kg_entity_pagerank" -> entityPagerankOracle,
     "kg_entity_triangles" -> entityTrianglesOracle,
     "kg_entity_components" -> entityComponentsOracle,
+    "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
+    "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,
     "kg_media_meta" ->
       s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,

@@ -30,7 +30,17 @@ object GraphOps {
     * collapses them map-side before the shuffle.
     */
   def coocEdges(triples: DataFrame): DataFrame = {
-    val half = triples.select(col("subj").as("d"), col("obj").as("e"))
+    val half = halfCoocEdges(triples)
+    half.union(half.select(col("y").as("x"), col("x").as("y")))
+  }
+
+  /** The x < y HALF of [[coocEdges]] — the canonical STORED form of the
+    * graph (each undirected edge once; TableIO-bucket it by `x` at scale
+    * and mirror on read). Also the state relation of
+    * [[incrementalCoocEdges]].
+    */
+  def halfCoocEdges(triples: DataFrame): DataFrame =
+    triples.select(col("subj").as("d"), col("obj").as("e"))
       .groupBy(col("d")).agg(collect_set(col("e")).as("es"))
       // value-ordered (least, greatest) pairs over distinct set elements:
       // position pairs i < j map 1:1 to unique unordered value pairs
@@ -40,7 +50,64 @@ object GraphOps {
           "struct(least(a, b) AS x, greatest(a, b) AS y))))")).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
-    half.union(half.select(col("y").as("x"), col("x").as("y")))
+
+  /** Incremental edge maintenance — the daily-shard path of the graph
+    * family (the [[graft.ops.IncrementalDedup]] discipline applied to the
+    * co-occurrence graph). Co-occurrence is PER-DOC, so a new shard's
+    * candidate edges derive from the shard alone — the base corpus is
+    * never rescanned; the only contact with committed state is ONE
+    * left-anti equi-join of the shard's (graph-sized) half-pairs against
+    * the stored half relation. Returns the increment to append:
+    * `stored ∪ increment = halfCoocEdges(base ∪ shard)` exactly
+    * (GraphOpsSpec pins the identity; the kg_cooc_increment oracle states
+    * it declaratively as EXCEPT over the two derivations).
+    */
+  def incrementalCoocEdges(storedHalf: DataFrame, shardTriples: DataFrame): DataFrame =
+    halfCoocEdges(shardTriples).join(storedHalf, Seq("x", "y"), "left_anti")
+
+  /** Weighted co-occurrence edges (x, y, w): w = number of distinct docs
+    * co-mentioning the pair — the edge-strength signal consumers rank by.
+    * Same derivation as [[halfCoocEdges]] with the cross-doc distinct
+    * replaced by a count (still partial-aggregatable map-side), mirrored
+    * after so both directions carry the weight.
+    */
+  def coocEdgesWeighted(triples: DataFrame): DataFrame = {
+    val half = triples.select(col("subj").as("d"), col("obj").as("e"))
+      .groupBy(col("d")).agg(collect_set(col("e")).as("es"))
+      .select(explode(expr(
+        "flatten(transform(es, (a, i) -> " +
+          "transform(slice(es, i + 2, size(es)), b -> " +
+          "struct(least(a, b) AS x, greatest(a, b) AS y))))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+    half.union(half.select(col("y").as("x"), col("x").as("y"), col("w")))
+  }
+
+  /** WEIGHTED integer PageRank: per-edge contribution
+    * (85 · r_src · w) div (100 · wdeg_src), wdeg = Σ w over the source's
+    * edges — rank flows proportionally to co-occurrence strength. Same
+    * static unrolling, same single pinned action, same bit-exact integer
+    * oracle discipline as [[pagerank]]; hub entities (huge wdeg) are
+    * plain hash-agg groups, never driver state. Long-arithmetic envelope
+    * (ANSI mode throws on overflow rather than corrupting): safe while
+    * max(r)·max(w) < 2^63/85 ≈ 1.1e17 — e.g. ranks ≤ 1e9 (total mass of a
+    * 1000-node community) × weights ≤ 1e8; past that promote the
+    * contribution expression to DECIMAL(38,0) on both engine and oracle.
+    * Output: (entity, rank_e6).
+    */
+  def pagerankWeighted(triples: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = coocEdgesWeighted(triples).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val wdeg = edges.groupBy(col("x")).agg(sum(col("w")).as("wdeg"))
+    val ed = edges.join(wdeg, "x")
+    val init = wdeg.select(col("x").as("n"), lit(1000000L).as("r"))
+    val fin = (1 to iters).foldLeft(init) { (ranks, _) =>
+      ed.join(ranks, col("x") === col("n"))
+        .select(col("y"), expr("(85 * r * w) div (100 * wdeg)").as("c"))
+        .groupBy(col("y")).agg((sum(col("c")) + lit(150000L)).as("r"))
+        .select(col("y").as("n"), col("r"))
+    }
+    fin.select(col("n").as("entity"), col("r").as("rank_e6"))
   }
 
   /** Both analytics consume the edge set MANY times (once per rank

@@ -37,6 +37,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(c === Set(("A", "A"), ("B", "A"), ("C", "A"), ("D", "A"), ("E", "E")))
   }
 
+  test("pagerankWeighted: one hand-unrolled weighted iteration") {
+    // weights: A-B = 2 (D1, D2), A-C = B-C = C-D = 1; wdeg A=3 B=3 C=3 D=1
+    // r1(A) = 150000 + (85e6·2) div 300 + (85e6) div 300 = 150000 + 566666 + 283333
+    val r = GraphOps.pagerankWeighted(triples, iters = 1).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r === Map("A" -> 999999L, "B" -> 999999L,
+      "C" -> 1566666L, "D" -> 433333L))
+  }
+
+  test("incrementalCoocEdges: shard folds in without base pairs; union identity") {
+    import spark.implicits._
+    val shard = Seq(("D9", "m", "A"), ("D9", "m", "B"), ("D9", "m", "E"))
+      .toDF("subj", "pred", "obj")
+    val stored = GraphOps.halfCoocEdges(triples)
+    val inc = GraphOps.incrementalCoocEdges(stored, shard)
+    val got = inc.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // D9's pairs are {A-B, A-E, B-E}; A-B is already stored -> increment
+    // carries only the genuinely new edges
+    assert(got === Set(("A", "E"), ("B", "E")))
+    // identity: stored ∪ increment == from-scratch over base ∪ shard
+    val full = GraphOps.halfCoocEdges(triples.union(shard)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val storedSet = stored.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert((storedSet ++ got) === full)
+  }
+
   test("pagerank: one hand-unrolled integer iteration") {
     val r = GraphOps.pagerank(triples, iters = 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
