@@ -124,6 +124,18 @@ object SparkEntry {
       graft.kg.graph.GraphOps.components(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    // the PRODUCTION physical path for the same logical pagerank: edges
+    // materialized once as a bucketed-by-x sorted table, iterations join
+    // against the scan layout (no per-iteration edge exchange). Result-equal
+    // to kg_entity_pagerank by construction — shares its bit-exact oracle
+    // (the kg_skills / kg_skills_trie two-plans-one-oracle pattern).
+    "kg_entity_pagerank_bucketed" -> ((s, dir) => {
+      val tbl = graft.kg.graph.GraphOps.materializedEdgeTable(
+        s, Pipeline.allTriples(
+          SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+          .select(col("subj"), col("pred"), col("obj")), tag = dir)
+      graft.kg.graph.GraphOps.pagerankOnEdges(s.table(tbl))
+    }),
     "kg_entity_pagerank_weighted" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerankWeighted(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
@@ -453,6 +465,7 @@ object SparkEntry {
     "kg_entity_pagerank" -> entityPagerankOracle,
     "kg_entity_triangles" -> entityTrianglesOracle,
     "kg_entity_components" -> entityComponentsOracle,
+    "kg_entity_pagerank_bucketed" -> entityPagerankOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,

@@ -167,6 +167,42 @@ object GraphOps {
     fin.select(col("n").as("entity"), col("r").as("rank_e6"))
   }
 
+  private val materializedEdgeTbl =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialize the symmetric co-occurrence edge relation as the
+    * PRODUCTION layout: a parquet table bucketed AND sorted by `x`
+    * (`buckets` files via the matching repartition), registered in the
+    * session catalog. Downstream iterated consumers
+    * ([[pagerankOnEdges]] via `spark.table(name)`) then get the edge side
+    * of every per-iteration equi-join on `x` partitioned (and ordered)
+    * FROM THE SCAN — no per-iteration edge exchange or sort; only the
+    * node-cardinality rank relation moves. This is the documented 100 TB
+    * shape the `graph` scaling phase measures (the in-session
+    * [[pinnedEdges]] default re-exchanges edges every iteration —
+    * convenient at exploration scale, 0.47 N→4N on the iterate segment at
+    * bench scale). Build-once per (tag, buckets) with the
+    * [[graft.ops.Similarity.materializedIndex]] revalidation discipline;
+    * returns the catalog table name.
+    */
+  def materializedEdgeTable(spark: org.apache.spark.sql.SparkSession,
+      triples: DataFrame, tag: String, buckets: Int = 64): String = {
+    val name = ("graft_cooc_edges_" + tag + "_b" + buckets)
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cooc-edges").toString
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      coocEdges(triples).repartition(buckets, col("x"))
+        .write.bucketBy(buckets, "x").sortBy("x")
+        .option("path", s"$dir/edges").format("parquet").saveAsTable(name)
+      name
+    }
+    val key = s"$tag/$buckets"
+    val cached = materializedEdgeTbl.getOrElseUpdate(key, build())
+    if (spark.catalog.tableExists(cached)) cached
+    else { val fresh = build(); materializedEdgeTbl.put(key, fresh); fresh }
+  }
+
   /** Entity COMMUNITIES: connected components over the co-occurrence graph
     * — which entities are transitively linked through shared postings (the
     * coarse community structure consumers segment the KG by). Reuses the

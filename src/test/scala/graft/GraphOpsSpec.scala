@@ -37,6 +37,22 @@ class GraphOpsSpec extends SparkTestBase {
     assert(c === Set(("A", "A"), ("B", "A"), ("C", "A"), ("D", "A"), ("E", "E")))
   }
 
+  test("materializedEdgeTable: bucketed-path pagerank equals the pinned path") {
+    val tbl = GraphOps.materializedEdgeTable(spark, triples, tag = "graphspec", buckets = 4)
+    val bucketed = GraphOps.pagerankOnEdges(spark.table(tbl), iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val pinned = GraphOps.pagerank(triples, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bucketed === pinned)
+    // the production property: the table scan IS the bucketing — the plan
+    // reads the edge side pre-partitioned (bucketed scan), so iterations
+    // add no edge-side exchange
+    val plan = GraphOps.pagerankOnEdges(spark.table(tbl), iters = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"expected a bucketed scan in:\n${plan.take(2000)}")
+  }
+
   test("pagerankWeighted: one hand-unrolled weighted iteration") {
     // weights: A-B = 2 (D1, D2), A-C = B-C = C-D = 1; wdeg A=3 B=3 C=3 D=1
     // r1(A) = 150000 + (85e6·2) div 300 + (85e6) div 300 = 150000 + 566666 + 283333
