@@ -136,6 +136,24 @@ object SparkEntry {
           .select(col("subj"), col("pred"), col("obj")), tag = dir)
       graft.kg.graph.GraphOps.pagerankOnEdges(s.table(tbl))
     }),
+    // -- KG consumption: subject-star BGP over the COMMITTED (pred, bucket)-
+    // partitioned triple store — "postings requiring skill S001 and language
+    // LANG00; return title and location bindings". Each pattern is a
+    // partition-pruned per-predicate scan (TripleStoreSpec asserts the
+    // PartitionFilters); constraints are broadcast semi joins, bindings
+    // chain on subj.
+    "kg_star_query" -> ((s, dir) => {
+      import graft.kg.query.TripleStore, TripleStore.TriplePattern
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      TripleStore.starQuery(s.read.parquet(root), Seq(
+        TriplePattern("requiresSkill", obj = Some("S001")),
+        TriplePattern("requiresLanguage", obj = Some("LANG00")),
+        TriplePattern("hasTitle", bind = Some("title")),
+        TriplePattern("locatedIn", bind = Some("loc"))))
+    }),
     "kg_entity_pagerank_weighted" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerankWeighted(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
@@ -373,6 +391,23 @@ object SparkEntry {
        |SELECT n AS entity, r AS rank_e6 FROM r3""".stripMargin
   }
 
+  /** Subject-star BGP stated declaratively over the same closed-form triple
+    * relation: one EXISTS per constraint pattern, one self-join per binding
+    * — verifying both the [[graft.kg.query.TripleStore.starQuery]] join
+    * plan AND that the committed (pred, bucket)-partitioned store it reads
+    * round-trips the triple relation exactly.
+    */
+  private val starQueryOracle: String =
+    s"""WITH triples AS ($allTriplesOracle)
+       |SELECT t.subj, t.obj AS title, l.obj AS loc
+       |FROM triples t
+       |JOIN triples l ON l.subj = t.subj AND l.pred = 'locatedIn'
+       |WHERE t.pred = 'hasTitle'
+       |  AND EXISTS (SELECT 1 FROM triples s WHERE s.subj = t.subj
+       |              AND s.pred = 'requiresSkill' AND s.obj = 'S001')
+       |  AND EXISTS (SELECT 1 FROM triples g WHERE g.subj = t.subj
+       |              AND g.pred = 'requiresLanguage' AND g.obj = 'LANG00')""".stripMargin
+
   /** Incremental co-occurrence edges — declaratively, the shard-derived
     * half-pair set minus the base-derived one (EXCEPT); the engine computes
     * it without touching base mentions (shard-local derivation + one
@@ -466,6 +501,7 @@ object SparkEntry {
     "kg_entity_triangles" -> entityTrianglesOracle,
     "kg_entity_components" -> entityComponentsOracle,
     "kg_entity_pagerank_bucketed" -> entityPagerankOracle,
+    "kg_star_query" -> starQueryOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,

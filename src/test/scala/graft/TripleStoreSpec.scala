@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.kg.query.TripleStore
+import graft.kg.query.TripleStore.TriplePattern
+
+class TripleStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // D1: skill Java + Python, lang EN, title T1, loc L1
+  // D2: skill Java, lang EN + DE, titles T1 + T2 (multi-valued bind), no loc
+  // D3: skill Python only, lang EN, title T3, loc L2
+  private lazy val triples = Seq(
+    ("D1", "requiresSkill", "Java"), ("D1", "requiresSkill", "Python"),
+    ("D1", "requiresLanguage", "EN"), ("D1", "hasTitle", "T1"),
+    ("D1", "locatedIn", "L1"),
+    ("D2", "requiresSkill", "Java"), ("D2", "requiresLanguage", "EN"),
+    ("D2", "requiresLanguage", "DE"), ("D2", "hasTitle", "T1"),
+    ("D2", "hasTitle", "T2"),
+    ("D3", "requiresSkill", "Python"), ("D3", "requiresLanguage", "EN"),
+    ("D3", "hasTitle", "T3"), ("D3", "locatedIn", "L2")
+  ).toDF("subj", "pred", "obj")
+
+  test("starQuery: constraints filter, binds return columns, inner semantics") {
+    // Java + loc bind: D2 has no locatedIn -> dropped (inner); D3 no Java
+    val r = TripleStore.starQuery(triples, Seq(
+      TriplePattern("requiresSkill", obj = Some("Java")),
+      TriplePattern("hasTitle", bind = Some("title")),
+      TriplePattern("locatedIn", bind = Some("loc")))).collect().toSet
+    assert(r === Set(Row("D1", "T1", "L1")))
+  }
+
+  test("starQuery: multi-valued bound predicate multiplies binding rows") {
+    val r = TripleStore.starQuery(triples, Seq(
+      TriplePattern("requiresSkill", obj = Some("Java")),
+      TriplePattern("hasTitle", bind = Some("title")))).collect().toSet
+    // D2 binds both its titles (SPARQL combination semantics)
+    assert(r === Set(Row("D1", "T1"), Row("D2", "T1"), Row("D2", "T2")))
+  }
+
+  test("starQuery: existence-only query returns distinct matching subjects") {
+    val r = TripleStore.starQuery(triples, Seq(
+      TriplePattern("requiresLanguage", obj = Some("EN")),
+      TriplePattern("requiresSkill", obj = Some("Python"))))
+      .collect().map(_.getString(0)).toSet
+    assert(r === Set("D1", "D3"))
+  }
+
+  test("starQuery: constrained binding (obj and bind on one pattern)") {
+    val r = TripleStore.starQuery(triples, Seq(
+      TriplePattern("hasTitle", obj = Some("T1"), bind = Some("title"))))
+      .collect().toSet
+    assert(r === Set(Row("D1", "T1"), Row("D2", "T1")))
+  }
+
+  test("patterns are validated: no-op pattern and duplicate binds rejected") {
+    intercept[IllegalArgumentException](TriplePattern("hasTitle"))
+    intercept[IllegalArgumentException](TripleStore.starQuery(triples, Seq(
+      TriplePattern("hasTitle", bind = Some("x")),
+      TriplePattern("locatedIn", bind = Some("x")))))
+    intercept[IllegalArgumentException](TripleStore.starQuery(triples, Nil))
+  }
+
+  test("materialized store: per-predicate scans are partition-pruned") {
+    val raw = triples
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("src_offset", org.apache.spark.sql.functions.lit(0))
+    val root = TripleStore.materializedTripleTable(spark, raw, tag = "triplestorespec")
+    val stored = spark.read.parquet(root)
+    val q = TripleStore.starQuery(stored, Seq(
+      TriplePattern("requiresSkill", obj = Some("Java")),
+      TriplePattern("hasTitle", bind = Some("title"))))
+    // same result off the committed layout as off the in-memory relation
+    assert(q.collect().toSet ===
+      Set(Row("D1", "T1"), Row("D2", "T1"), Row("D2", "T2")))
+    // the production property: every pattern's scan lists only its pred=…
+    // directories — the predicate selection is a PartitionFilter, not a
+    // post-scan Filter over all predicates
+    val plan = q.queryExecution.executedPlan.toString
+    val scanFilters = "PartitionFilters: \\[[^\\]]*pred[^\\]]*\\]".r
+      .findAllIn(plan).toList
+    assert(scanFilters.nonEmpty, s"no pred PartitionFilters in:\n${plan.take(3000)}")
+    assert(plan.contains("requiresSkill") && plan.contains("hasTitle"))
+    // constraint enters as a broadcast LEFT SEMI (filters without moving
+    // the bind side) and its obj selection is pushed to the parquet scan
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n${plan.take(3000)}")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(obj,Java\\)".r
+      .findFirstIn(plan).isDefined, s"obj not pushed in:\n${plan.take(3000)}")
+  }
+}
