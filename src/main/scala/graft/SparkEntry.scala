@@ -154,6 +154,12 @@ object SparkEntry {
         TriplePattern("hasTitle", bind = Some("title")),
         TriplePattern("locatedIn", bind = Some("loc"))))
     }),
+    // -- personalized rank: "entities related to skill S001 / lang LANG00" --
+    "kg_entity_pagerank_seeded" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.pagerankPersonalized(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")),
+        seeds = Seq("S001", "LANG00"))),
     "kg_entity_pagerank_weighted" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerankWeighted(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
@@ -391,6 +397,31 @@ object SparkEntry {
        |SELECT n AS entity, r AS rank_e6 FROM r3""".stripMargin
   }
 
+  /** Personalized integer PageRank — the SAME unrolled iterations as
+    * [[entityPagerankOracle]] with the teleport term restricted to the seed
+    * IN-list (init 1e6 on seeds, per-round jump 150000 on seeds) — bit-exact
+    * vs GraphOps.pagerankPersonalized.
+    */
+  private val entityPagerankSeededOracle: String = {
+    val seedsIn = "('S001', 'LANG00')"
+    def step(prev: String, out: String) =
+      s"""${out}f AS (SELECT e.y AS n,
+         |  CAST(sum((85 * r.r) // (100 * d.deg)) AS BIGINT) AS f
+         |  FROM edges e JOIN $prev r ON e.x = r.n JOIN deg d ON e.x = d.x
+         |  GROUP BY 1),
+         |$out AS (SELECT n,
+         |  f + (CASE WHEN n IN $seedsIn THEN 150000 ELSE 0 END) AS r
+         |  FROM ${out}f)""".stripMargin
+    s"""$coocCtes,
+       |r0 AS (SELECT x AS n,
+       |  CAST(CASE WHEN x IN $seedsIn THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM deg),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT n AS entity, CAST(r AS BIGINT) AS rank_e6 FROM r3""".stripMargin
+  }
+
   /** Subject-star BGP stated declaratively over the same closed-form triple
     * relation: one EXISTS per constraint pattern, one self-join per binding
     * — verifying both the [[graft.kg.query.TripleStore.starQuery]] join
@@ -502,6 +533,7 @@ object SparkEntry {
     "kg_entity_components" -> entityComponentsOracle,
     "kg_entity_pagerank_bucketed" -> entityPagerankOracle,
     "kg_star_query" -> starQueryOracle,
+    "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,

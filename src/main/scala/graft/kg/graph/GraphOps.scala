@@ -167,6 +167,43 @@ object GraphOps {
     fin.select(col("n").as("entity"), col("r").as("rank_e6"))
   }
 
+  /** PERSONALIZED integer PageRank (random walk with restart): teleport
+    * mass returns ONLY to the `seeds` — the "entities related to X" ranking
+    * consumers ask of a KG (seed a skill, get the skills/titles/locations
+    * its postings gravitate around). Same statically-unrolled bit-exact
+    * integer discipline as [[pagerank]]: r0 = 1e6 on seeds / 0 elsewhere,
+    * per-iteration r(n) = seedJump(n) + Σ (85·r_src) div (100·deg_src)
+    * with seedJump = 150000 on seeds / 0 elsewhere (0.15 of the |S|·1e6
+    * total mass split equally over the seed set). The seed set is a
+    * driver-held literal IN-list — seeds are a user query parameter
+    * (metadata-scale), never a relation. Output: (entity, rank_e6); rank 0
+    * marks nodes unreached within `iters` hops.
+    */
+  def pagerankPersonalized(triples: DataFrame, seeds: Seq[String],
+      iters: Int = 3): DataFrame =
+    pagerankPersonalizedOnEdges(pinnedEdges(triples), seeds, iters)
+
+  /** [[pagerankPersonalized]] over an already-materialized symmetric edge
+    * relation — same table-backed production entry as [[pagerankOnEdges]].
+    */
+  def pagerankPersonalizedOnEdges(edges: DataFrame, seeds: Seq[String],
+      iters: Int = 3): DataFrame = {
+    require(seeds.nonEmpty, "personalized pagerank needs a seed set")
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "x")
+    def onSeeds(n: org.apache.spark.sql.Column, v: Long) =
+      when(n.isin(seeds: _*), lit(v)).otherwise(lit(0L))
+    val init = deg.select(col("x").as("n"), onSeeds(col("x"), 1000000L).as("r"))
+    val fin = (1 to iters).foldLeft(init) { (ranks, _) =>
+      ed.join(ranks, col("x") === col("n"))
+        .select(col("y"), expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy(col("y")).agg(sum(col("c")).as("flow"))
+        .select(col("y").as("n"),
+          (col("flow") + onSeeds(col("y"), 150000L)).as("r"))
+    }
+    fin.select(col("n").as("entity"), col("r").as("rank_e6"))
+  }
+
   private val materializedEdgeTbl =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

@@ -88,6 +88,16 @@ class GraphOpsSpec extends SparkTestBase {
       "C" -> 1850000L, "D" -> 433333L))
   }
 
+  test("pagerankPersonalized: one hand-unrolled iteration, seed {A}") {
+    val r = GraphOps.pagerankPersonalized(triples, seeds = Seq("A"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r0: A=1e6, rest 0. A's contribution floor(850000/2)=425000 to B and C;
+    // every other contribution is 0. Jump 150000 lands on the seed only.
+    // D is reached by an edge (from C) but carries zero flow -> rank 0.
+    assert(r === Map("A" -> 150000L, "B" -> 425000L,
+      "C" -> 425000L, "D" -> 0L))
+  }
+
   test("triangles: degree-ordered enumeration finds the one triangle, thrice") {
     val t = GraphOps.triangles(triples).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
