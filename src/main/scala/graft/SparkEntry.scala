@@ -111,6 +111,12 @@ object SparkEntry {
     // -- R13 connected-components canonicalization ---------------------------
     "kg_canonical" -> ((s, dir) =>
       Pipeline.canonicalSurfaces(spans(s, dir), Dictionaries.titlesDf(s))),
+    // the INCREMENTAL path to the same canonicalization: gazetteer clusters
+    // are committed labels; corpus typo edges fold in via
+    // ConnectedComponents.incremental (semi+anti join contact with state,
+    // CC only over touched components). Shares kg_canonical's oracle.
+    "kg_canonical_increment" -> ((s, dir) =>
+      Pipeline.canonicalSurfacesIncremental(spans(s, dir), Dictionaries.titlesDf(s))),
     // -- graph analytics over the emitted KG: entity co-occurrence graph -----
     "kg_entity_pagerank" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerank(Pipeline.allTriples(
@@ -537,6 +543,7 @@ object SparkEntry {
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,
+    "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->
       s"""SELECT $subj, printf('img://%d/%d', doc_id, i) AS media_ref,
          | CAST(320 + 32 * ((doc_id + i) % 5) AS BIGINT) AS width,

@@ -299,16 +299,35 @@ object Pipeline {
     * lexicographically-smallest surface of each cluster.
     * Output: (surface, canonical).
     */
-  def canonicalSurfaces(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
-    val gazEdges = titlesGaz
+  def canonicalSurfaces(spans: DataFrame, titlesGaz: DataFrame): DataFrame =
+    ConnectedComponents.run(gazEdges(titlesGaz).union(typoEdges(spans, titlesGaz)))
+      .select(col("node").as("surface"), col("component").as("canonical"))
+
+  /** [[canonicalSurfaces]] computed INCREMENTALLY: the gazetteer's own
+    * surface→canonical clusters are the COMMITTED state (at production the
+    * label table from yesterday's run); the corpus-discovered fuzzy-linked
+    * typo surfaces are the shard folded in via
+    * [[ConnectedComponents.incremental]] — base clusters are never
+    * re-traversed (one semi + one anti join against the label table; only
+    * typo-touched components re-enter CC). Result-equal to
+    * [[canonicalSurfaces]] by the incremental identity — the driver pairs
+    * both queries with the SAME recursive-CTE oracle.
+    */
+  def canonicalSurfacesIncremental(spans: DataFrame, titlesGaz: DataFrame): DataFrame =
+    ConnectedComponents.incremental(
+      ConnectedComponents.run(gazEdges(titlesGaz)), typoEdges(spans, titlesGaz))
+      .select(col("node").as("surface"), col("component").as("canonical"))
+
+  private def gazEdges(titlesGaz: DataFrame): DataFrame =
+    titlesGaz
       .where(col("surface") =!= col("canonical"))
       .select(col("surface").as("src"), col("canonical").as("dst"))
+
+  private def typoEdges(spans: DataFrame, titlesGaz: DataFrame): DataFrame = {
     val cands = Extractors.titleCandidates(spans)
     val misses = cands.join(broadcast(titlesGaz), col("candidate") === col("surface"), "left_anti")
-    val typoEdges = Linking.fuzzyLink(misses, titlesGaz)
+    Linking.fuzzyLink(misses, titlesGaz)
       .select(col("candidate").as("src"), col("surface").as("dst"))
       .distinct()
-    val comps = ConnectedComponents.run(gazEdges.union(typoEdges))
-    comps.select(col("node").as("surface"), col("component").as("canonical"))
   }
 }

@@ -93,4 +93,44 @@ object ConnectedComponents {
     members.union(roots)
       .groupBy("node").agg(min(col("component")).as("component"))
   }
+
+  /** INCREMENTAL CC — fold a shard's new edges into committed
+    * (node, component) labels without re-traversing the base graph (the
+    * daily-shard path of canonicalization, the
+    * [[graft.ops.IncrementalDedup]] discipline applied to R13). The
+    * committed star forest is connectivity-equivalent to the base graph,
+    * so merges can only happen through new edges:
+    *
+    * 1. components TOUCHED by a new-edge endpoint are found with one semi
+    *    join against the label table (node-keyed access);
+    * 2. only the touched components' label stars re-enter CC, together
+    *    with the new edges — the iterated subgraph is shard-neighborhood-
+    *    sized, never base-sized;
+    * 3. every untouched label passes through via one anti join
+    *    (component-keyed access) — ConnectedComponentsSpec proves state is
+    *    not recomputed by planting a corrupted label on an untouched
+    *    component and observing it survive.
+    *
+    * Identity: `incremental(run(base), shard) ≡ run(base ∪ shard)` — the
+    * min label of a merged component is the min over its label-star
+    * members ∪ new nodes, exactly what from-scratch computes (the spec
+    * pins it; kg_canonical_increment shares kg_canonical's recursive-CTE
+    * oracle). At 10^12 nodes keep the label table in two bucketed access
+    * paths (by node for the semi join, by component for the anti join) —
+    * both contacts with committed state are single equi-joins.
+    */
+  def incremental(labels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val touched = newEdges.select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node"))).distinct()
+    val touchedComps = labels.join(touched, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    val affected = labels.join(touchedComps, Seq("component"), "left_semi")
+    val sub = affected
+      .select(col("node").as("src"), col("component").as("dst"))
+      .union(newEdges.select(col("src"), col("dst")))
+    labels.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .union(run(sub, maxIter))
+  }
 }

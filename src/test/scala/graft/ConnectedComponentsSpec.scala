@@ -51,6 +51,40 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(10, Seq((1, 1), (1, 2), (2, 1), (1, 2), (4, 5)), "dup/self edges")
   }
 
+  test("incremental: shard folds into committed labels; identity with from-scratch") {
+    val s = spark
+    import s.implicits._
+    // base: comp {1,2,3} (label 1), comp {10,11} (label 10), comp {20,21}
+    val base = Seq((1, 2), (2, 3), (10, 11), (20, 21)).toDF("src", "dst")
+    // shard: merges comp 1 with comp 10 (edge 3-11), adds a brand-new comp
+    // {30,31}, and attaches a NEW MINIMUM node 0 to comp 20
+    val shard = Seq((3, 11), (30, 31), (0, 21)).toDF("src", "dst")
+    val committed = ConnectedComponents.run(base)
+    val inc = ConnectedComponents.incremental(committed, shard)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val scratch = ConnectedComponents.run(base.union(shard))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(inc === scratch)
+    assert(inc(11) === 1)  // merged across base components
+    assert(inc(30) === 30) // brand-new component
+    assert(inc(20) === 0)  // new minimum relabels the touched component
+  }
+
+  test("incremental: untouched components pass through, not recomputed") {
+    val s = spark
+    import s.implicits._
+    // plant a label from-scratch CC could NEVER produce on an untouched
+    // component: if it survives, committed state flowed through the anti
+    // join rather than re-entering the CC iterations
+    val committed = Seq((1, 1), (2, 1), (10, -999), (11, -999))
+      .toDF("node", "component")
+    val shard = Seq((2, 3)).toDF("src", "dst")
+    val inc = ConnectedComponents.incremental(committed, shard)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(inc(10) === -999 && inc(11) === -999)
+    assert(inc(3) === 1 && inc(2) === 1 && inc(1) === 1)
+  }
+
   test("long-typed node ids: same components as the padded-string encoding") {
     val s = spark
     import s.implicits._
