@@ -36,6 +36,10 @@ object OpsEntries {
     "curate_source_gate" -> ((s, dir) => TextOps.sourceGate(docs(s, dir))),
     // first BPE merge iteration: corpus-wide adjacent-pair frequency top-k
     "text_bpe_merges" -> ((s, dir) => TextOps.bpePairs(docs(s, dir))),
+    // CCNet-style LM quality: bigram model on the doc_id%10=0 reference
+    // slice; per-doc OOV-bigram fraction + mean reference count (exact
+    // integer perplexity proxy)
+    "text_lm_quality" -> ((s, dir) => TextOps.lmQuality(docs(s, dir))),
     // ---- dedup -------------------------------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.derivedCorpus(docs(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -732,6 +736,23 @@ object OpsEntries {
         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM base))
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
         |ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin,
+    // bigram LM trained on the doc_id%10=0 slice; OOV fraction + mean ref
+    // count, floor-div e4 — mirrors TextOps.lmQuality exactly
+    "text_lm_quality" ->
+      """WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                     string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS b
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM base)),
+        |ref AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg
+        |        WHERE doc_id % 10 = 0 GROUP BY 1),
+        |sc AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(CASE WHEN r.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS noov,
+        |              CAST(sum(COALESCE(r.c, 0)) AS BIGINT) AS sumc
+        |       FROM bg g LEFT JOIN ref r ON g.b = r.b GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |       (10000 * noov) // n_bigrams AS oov_e4,
+        |       (10000 * sumc) // n_bigrams AS mean_ref_count_e4
+        |FROM sc""".stripMargin,
     // same distinct-5-gram relation on both sides; eval slice = doc_id % 97 = 3;
     // flag at >= 50% containment of the eval doc's shingles
     "curate_decontaminate" ->

@@ -179,6 +179,45 @@ object TextOps {
           .otherwise(lit(0L)).cast("long").as("top_bigram_ratio_e4"))
   }
 
+  /** CCNet-style LANGUAGE-MODEL quality scoring (Wenzek et al. 2020, public
+    * construction: rank web documents by the perplexity of an LM trained on
+    * a clean reference corpus). Sandbox-exact formulation: the "LM" is the
+    * word-BIGRAM count table of a deterministic reference slice
+    * (`doc_id % refMod = 0` — in production, the curated reference corpus),
+    * and perplexity is proxied by two EXACT integer signals per document:
+    *   oov_e4            — fraction of the doc's bigrams unseen in the
+    *                       reference (the dominant term of high perplexity)
+    *   mean_ref_count_e4 — mean reference count over all the doc's bigrams
+    *                       (unseen = 0): in-domain fluency mass
+    * (no log/exp — floats would break bit-exact oracle parity; the RANKING
+    * the gate thresholds on is what matters, not the perplexity unit).
+    * Shape: training is ONE hash-agg over the reference slice's exploded
+    * bigrams (model is vocabulary²-bounded, partial-agg collapses repeats
+    * map-side); scoring is explode → one equi-join against the model →
+    * per-doc hash-agg. The model join broadcasts when the (pruned) model
+    * fits — CCNet prunes its LM too — else it shuffles on the bigram key;
+    * either way corpus rows shuffle at most once. Docs with < 2 tokens have
+    * no bigrams and are absent from the output (identical on the oracle
+    * side). Output: (doc_id, n_bigrams, oov_e4, mean_ref_count_e4).
+    */
+  def lmQuality(docs: DataFrame, refMod: Long = 10L): DataFrame = {
+    val bigrams = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bg"))
+    val ref = bigrams.where(col("doc_id") % refMod === 0)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bigrams.join(ref, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("noov"),
+        sum(coalesce(col("c"), lit(0L))).as("sumc"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(10000 * noov) div n_bigrams").as("oov_e4"),
+        expr("(10000 * sumc) div n_bigrams").as("mean_ref_count_e4"))
+  }
+
   /** Gopher-style DOCUMENT filter (Rae et al. 2021 §A1.1, public rule set) —
     * the one-pass absolute gate pipelines run before any pairwise work. Each
     * rule is a 0/1 FLAG column (1 = rule failed) so downstream can audit WHY

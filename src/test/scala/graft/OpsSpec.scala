@@ -441,6 +441,26 @@ class OpsSpec extends SparkTestBase {
     assert(acc === 4L)
   }
 
+  test("lmQuality: hand-computed bigram OOV and mean reference count") {
+    val s = spark
+    import s.implicits._
+    // reference slice = doc_id % 10 == 0 -> docs 0 and 10.
+    // ref bigram counts: "a b" 2 (doc 0) + 1 (doc 10) = 3, "b a" 1, "b c" 1
+    val docs = Seq(
+      (0L, "a b a b c"), // ref; scored too: 4 bigrams, 0 oov, sumc 3+1+3+1=8
+      (1L, "a b c d"),   // "a b"->3, "b c"->1, "c d" oov: n=3 noov=1 sumc=4
+      (5L, "x y"),       // 1 bigram, all oov
+      (10L, "a b")       // ref; n=1, sumc=3
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      0L -> ((4L, 0L, 20000L)),      // 10000*8 div 4
+      1L -> ((3L, 3333L, 13333L)),   // 10000*1 div 3, 10000*4 div 3
+      5L -> ((1L, 10000L, 0L)),
+      10L -> ((1L, 0L, 30000L))))
+  }
+
   test("incremental dedup == from-scratch decision over base ∪ shard") {
     import java.nio.file.Files
     import graft.ops.IncrementalDedup
