@@ -160,6 +160,11 @@ object SparkEntry {
         TriplePattern("hasTitle", bind = Some("title")),
         TriplePattern("locatedIn", bind = Some("loc"))))
     }),
+    // -- k-core: entities in robustly-connected neighborhoods (k=2, 4 rounds)
+    "kg_entity_kcore" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.kcore(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- personalized rank: "entities related to skill S001 / lang LANG00" --
     "kg_entity_pagerank_seeded" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerankPersonalized(Pipeline.allTriples(
@@ -428,6 +433,25 @@ object SparkEntry {
        |SELECT n AS entity, CAST(r AS BIGINT) AS rank_e6 FROM r3""".stripMargin
   }
 
+  /** k-core peel, the SAME 4 statically-unrolled rounds (k=2) as
+    * GraphOps.kcore: degrees ≥ k survive, edges restrict to surviving
+    * endpoints — bit-exact.
+    */
+  private val entityKcoreOracle: String = {
+    def round(prevE: String, i: Int) =
+      s"""s$i AS (SELECT x FROM $prevE GROUP BY x HAVING count(*) >= 2),
+         |e$i AS (SELECT e.x, e.y FROM $prevE e
+         |        JOIN s$i a ON e.x = a.x JOIN s$i b ON e.y = b.x)""".stripMargin
+    s"""$coocCtes,
+       |e0 AS (SELECT x, y FROM edges),
+       |${round("e0", 1)},
+       |${round("e1", 2)},
+       |${round("e2", 3)},
+       |${round("e3", 4)}
+       |SELECT x AS entity, CAST(count(*) AS BIGINT) AS deg_in_core
+       |FROM e4 GROUP BY 1""".stripMargin
+  }
+
   /** Subject-star BGP stated declaratively over the same closed-form triple
     * relation: one EXISTS per constraint pattern, one self-join per binding
     * — verifying both the [[graft.kg.query.TripleStore.starQuery]] join
@@ -540,6 +564,7 @@ object SparkEntry {
     "kg_entity_pagerank_bucketed" -> entityPagerankOracle,
     "kg_star_query" -> starQueryOracle,
     "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
+    "kg_entity_kcore" -> entityKcoreOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,

@@ -204,6 +204,35 @@ object GraphOps {
     fin.select(col("n").as("entity"), col("r").as("rank_e6"))
   }
 
+  /** k-CORE peeling over the co-occurrence graph: iteratively remove nodes
+    * with degree < k until the k-core remains — the standard dense-substructure
+    * filter (which entities sit in robustly-connected neighborhoods vs hang
+    * off sparse tendrils). `rounds` peel rounds are STATICALLY unrolled —
+    * same discipline as [[pagerank]]: no per-round driver round-trip, and
+    * the oracle unrolls the identical rounds so the hash match is exact.
+    * An R-round peel is the honest semantics (a peel converges in ≤
+    * longest-tendril-length rounds; GraphOpsSpec pins a fixture where the
+    * cascade needs multiple rounds and reaches its fixed point within R).
+    * Shape per round: one hash-agg (degrees ≥ k → survivors) + two LEFT
+    * SEMI joins restricting edges to surviving endpoints — all equi-keyed,
+    * hub nodes are ordinary hash-agg groups.
+    * Output: (entity, deg_in_core) for k-core members after `rounds`.
+    */
+  def kcore(triples: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame =
+    kcoreOnEdges(pinnedEdges(triples), k, rounds)
+
+  /** [[kcore]] over an already-materialized symmetric edge relation. */
+  def kcoreOnEdges(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    val fin = (1 to rounds).foldLeft(edges) { (e, _) =>
+      val surv = e.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("x"))
+      e.join(surv, Seq("x"), "left_semi")
+        .join(surv.select(col("x").as("y")), Seq("y"), "left_semi")
+    }
+    fin.groupBy(col("x")).agg(count(lit(1)).as("deg_in_core"))
+      .select(col("x").as("entity"), col("deg_in_core"))
+  }
+
   private val materializedEdgeTbl =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

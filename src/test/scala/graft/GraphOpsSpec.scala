@@ -98,6 +98,30 @@ class GraphOpsSpec extends SparkTestBase {
       "C" -> 425000L, "D" -> 0L))
   }
 
+  test("kcore: k=2 peel keeps the triangle, drops the tendril") {
+    val r = GraphOps.kcore(triples, k = 2, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // D (deg 1) peels in round 1; the {A,B,C} triangle is the 2-core
+    assert(r === Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
+  }
+
+  test("kcore: a length-3 tendril cascades over multiple peel rounds") {
+    val s = spark
+    import s.implicits._
+    // triangle T1-T2-T3 with chain T3-C1-C2-C3: C3 peels in round 1,
+    // C2 in round 2, C1 in round 3 — the fixed point needs 3 rounds
+    val e = Seq(("T1", "T2"), ("T2", "T3"), ("T3", "T1"),
+      ("T3", "C1"), ("C1", "C2"), ("C2", "C3"))
+    val sym = (e ++ e.map(_.swap)).toDF("x", "y")
+    val r = GraphOps.kcoreOnEdges(sym, k = 2, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r === Map("T1" -> 2L, "T2" -> 2L, "T3" -> 2L))
+    // 2 rounds are NOT enough — the unrolled-rounds semantics is real
+    val r2 = GraphOps.kcoreOnEdges(sym, k = 2, rounds = 2).collect()
+      .map(r => r.getString(0)).toSet
+    assert(r2 === Set("T1", "T2", "T3", "C1"))
+  }
+
   test("triangles: degree-ordered enumeration finds the one triangle, thrice") {
     val t = GraphOps.triangles(triples).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
