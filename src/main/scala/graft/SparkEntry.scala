@@ -160,11 +160,46 @@ object SparkEntry {
         TriplePattern("hasTitle", bind = Some("title")),
         TriplePattern("locatedIn", bind = Some("loc"))))
     }),
+    // -- catalog stats: the selectivity numbers the BGP planner orders by
+    "kg_predicate_stats" -> ((s, dir) => {
+      import graft.kg.query.TripleStore
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      TripleStore.predicateStats(s.read.parquet(root))
+    }),
+    // -- degree histogram: the hub-skew diagnostic for the entity graph --
+    "kg_degree_hist" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.degreeHistogram(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
+    // -- sibling BGP: postings in the same city as S001-requiring postings
+    "kg_sibling_query" -> ((s, dir) => {
+      import graft.kg.query.TripleStore, TripleStore.TriplePattern
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      TripleStore.siblingQuery(s.read.parquet(root), via = "locatedIn",
+        constraints = Seq(TriplePattern("requiresSkill", obj = Some("S001"))))
+    }),
     // -- k-core: entities in robustly-connected neighborhoods (k=2, 4 rounds)
     "kg_entity_kcore" -> ((s, dir) =>
       graft.kg.graph.GraphOps.kcore(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    // -- lift-scored edges: association strength for graph pruning --
+    "kg_edge_lift" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.edgeLift(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
+    // -- BFS halo: hop distance from the same seed set, radius 4 --
+    "kg_entity_bfs" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.bfs(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")),
+        seeds = Seq("S001", "LANG00"))),
     // -- personalized rank: "entities related to skill S001 / lang LANG00" --
     "kg_entity_pagerank_seeded" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerankPersonalized(Pipeline.allTriples(
@@ -433,6 +468,85 @@ object SparkEntry {
        |SELECT n AS entity, CAST(r AS BIGINT) AS rank_e6 FROM r3""".stripMargin
   }
 
+  /** Per-predicate catalog stats — also proves the committed store
+    * round-trips the triple relation exactly (counts over the store ==
+    * counts over the closed form).
+    */
+  private val predicateStatsOracle: String =
+    s"""WITH triples AS ($allTriplesOracle)
+       |SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       |  CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       |  CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+       |FROM triples GROUP BY 1""".stripMargin
+
+  /** Degree histogram with the binary-digit-count bucket (floor(log2) with
+    * no float log) — exact on both engines.
+    */
+  private val degreeHistOracle: String =
+    s"""$coocCtes
+       |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_entities,
+       |  CAST(min(deg) AS BIGINT) AS min_deg,
+       |  CAST(max(deg) AS BIGINT) AS max_deg
+       |FROM deg GROUP BY 1""".stripMargin
+
+  /** Sibling (object-join) BGP stated declaratively: one EXISTS walking
+    * seed-constraint → seed's via object → this row's via object — pairing
+    * verifies [[graft.kg.query.TripleStore.siblingQuery]]'s two-semi-join
+    * plan AND the committed store round-trip it reads.
+    */
+  private val siblingQueryOracle: String =
+    s"""WITH triples AS ($allTriplesOracle)
+       |SELECT v.subj, v.obj AS via_obj
+       |FROM triples v
+       |WHERE v.pred = 'locatedIn'
+       |  AND EXISTS (SELECT 1 FROM triples s JOIN triples k
+       |              ON k.subj = s.subj
+       |              WHERE s.pred = 'locatedIn' AND s.obj = v.obj
+       |                AND k.pred = 'requiresSkill' AND k.obj = 'S001')""".stripMargin
+
+  /** Lift scoring stated declaratively: per-entity doc counts, the doc
+    * total, and the co-mention weights from the same distinct (doc,
+    * entity) relation; integer floor arithmetic matches GraphOps.edgeLift
+    * bit-identically.
+    */
+  private val edgeLiftOracle: String =
+    s"""WITH triples AS ($allTriplesOracle),
+       |ent AS (SELECT DISTINCT subj AS d, obj AS e FROM triples),
+       |m AS (SELECT e, CAST(count(*) AS BIGINT) AS m FROM ent GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS nd FROM ent),
+       |whalf AS (SELECT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y,
+       |                 CAST(count(*) AS BIGINT) AS w
+       |          FROM ent a JOIN ent b ON a.d = b.d AND a.e < b.e
+       |          GROUP BY 1, 2)
+       |SELECT h.x, h.y, h.w,
+       |  CAST((n.nd * h.w * 1000000) // (mx.m * my.m) AS BIGINT) AS lift_e6
+       |FROM whalf h JOIN m mx ON h.x = mx.e JOIN m my ON h.y = my.e
+       |CROSS JOIN n""".stripMargin
+
+  /** Multi-source BFS, the SAME 4 statically-unrolled frontier rounds as
+    * GraphOps.bfs (frontier = nodes at d = round-1; least() skips NULL on both
+    * engines) — bit-exact.
+    */
+  private val entityBfsOracle: String = {
+    val seedsIn = "('S001', 'LANG00')"
+    def round(i: Int) =
+      s"""p$i AS (SELECT e.y, min(d.d + 1) AS nd
+         |        FROM edges e JOIN d${i - 1} d ON e.x = d.n
+         |        WHERE d.d = ${i - 1} GROUP BY e.y),
+         |d$i AS (SELECT d.n, least(d.d, p.nd) AS d
+         |        FROM d${i - 1} d LEFT JOIN p$i p ON d.n = p.y)""".stripMargin
+    s"""$coocCtes,
+       |d0 AS (SELECT x AS n,
+       |  CASE WHEN x IN $seedsIn THEN CAST(0 AS BIGINT) END AS d FROM deg),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT n AS entity, CAST(d AS BIGINT) AS dist
+       |FROM d4 WHERE d IS NOT NULL""".stripMargin
+  }
+
   /** k-core peel, the SAME 4 statically-unrolled rounds (k=2) as
     * GraphOps.kcore: degrees ≥ k survive, edges restrict to surviving
     * endpoints — bit-exact.
@@ -565,6 +679,11 @@ object SparkEntry {
     "kg_star_query" -> starQueryOracle,
     "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
     "kg_entity_kcore" -> entityKcoreOracle,
+    "kg_entity_bfs" -> entityBfsOracle,
+    "kg_edge_lift" -> edgeLiftOracle,
+    "kg_sibling_query" -> siblingQueryOracle,
+    "kg_predicate_stats" -> predicateStatsOracle,
+    "kg_degree_hist" -> degreeHistOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_canonical" -> canonicalOracle,

@@ -72,7 +72,15 @@ object GraphOps {
     * after so both directions carry the weight.
     */
   def coocEdgesWeighted(triples: DataFrame): DataFrame = {
-    val half = triples.select(col("subj").as("d"), col("obj").as("e"))
+    val half = halfCoocEdgesWeighted(triples)
+    half.union(half.select(col("y").as("x"), col("x").as("y"), col("w")))
+  }
+
+  /** The x < y HALF of [[coocEdgesWeighted]] — the canonical stored form
+    * (each undirected edge once with its co-mention count).
+    */
+  def halfCoocEdgesWeighted(triples: DataFrame): DataFrame =
+    triples.select(col("subj").as("d"), col("obj").as("e"))
       .groupBy(col("d")).agg(collect_set(col("e")).as("es"))
       .select(explode(expr(
         "flatten(transform(es, (a, i) -> " +
@@ -80,7 +88,40 @@ object GraphOps {
           "struct(least(a, b) AS x, greatest(a, b) AS y))))")).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-    half.union(half.select(col("y").as("x"), col("x").as("y"), col("w")))
+
+  /** LIFT-scored co-occurrence edges — the association-strength signal that
+    * separates "co-mentioned because both are everywhere" (a stop-skill
+    * next to anything: lift ≈ 1e6) from "co-mentioned because genuinely
+    * related" (lift ≫ 1e6): lift = P(x,y) / (P(x)·P(y)) over docs, i.e.
+    * (nDocs · w) / (m_x · m_y) with w = co-mentioning docs and m_e =
+    * docs mentioning e — exact integer fixed-point (e6, floor), so the
+    * oracle hash-matches bit-identically (the log-free core of PMI; rank
+    * order under log is unchanged, and the integer discipline beats a
+    * float log at oracle parity). The classic use is PRUNING the graph
+    * before the iterated analytics: hub-entity edges with lift ≤ 1e6
+    * carry no signal and are the exact edges that make [[pagerank]] /
+    * [[triangles]] expensive.
+    *
+    * Shape: per-entity doc counts and the total are one hash-agg each
+    * over the distinct (doc, entity) relation; the scalar total joins by
+    * broadcast; edge scoring is two entity-keyed equi-joins onto the
+    * half relation — nothing pairwise beyond the bounded per-doc pair
+    * expansion [[halfCoocEdgesWeighted]] already does. Long envelope
+    * (ANSI throws, never corrupts): safe while nDocs·w < 2^63/1e6 ≈
+    * 9.2e12 — promote the numerator to DECIMAL(38,0) on both engine and
+    * oracle past that.
+    * Output: (x, y, w, lift_e6), x < y half relation.
+    */
+  def edgeLift(triples: DataFrame): DataFrame = {
+    val ent = triples.select(col("subj").as("d"), col("obj").as("e")).distinct()
+    val m = ent.groupBy(col("e")).agg(count(lit(1)).as("m"))
+    val n = ent.agg(countDistinct(col("d")).as("nd"))
+    halfCoocEdgesWeighted(triples)
+      .join(m.select(col("e").as("x"), col("m").as("mx")), "x")
+      .join(m.select(col("e").as("y"), col("m").as("my")), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("w"),
+        expr("(nd * w * 1000000L) div (mx * my)").as("lift_e6"))
   }
 
   /** WEIGHTED integer PageRank: per-edge contribution
@@ -231,6 +272,64 @@ object GraphOps {
     }
     fin.groupBy(col("x")).agg(count(lit(1)).as("deg_in_core"))
       .select(col("x").as("entity"), col("deg_in_core"))
+  }
+
+  /** Log2-bucketed DEGREE HISTOGRAM of the co-occurrence graph — the skew
+    * diagnostic run before the iterated analytics (how heavy are the hub
+    * entities the salting / lift-pruning decisions are about): bucket =
+    * floor(log2(deg)) computed exactly as `length(bin(deg)) - 1` (binary
+    * digit count — identical integer semantics on both engines, no float
+    * log). Two hash-aggs: entity degrees, then per-bucket count + degree
+    * range. Output: (bucket, n_entities, min_deg, max_deg).
+    */
+  def degreeHistogram(triples: DataFrame): DataFrame =
+    pinnedEdges(triples).groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("deg"), (length(bin(col("deg"))) - 1).cast("bigint").as("bucket"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_entities"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+
+  /** Multi-source BFS hop distance from a seed entity set — the
+    * "how far is every entity from X" neighborhood query consumers run on
+    * a KG (seed a skill, get its 1-hop/2-hop halo; the exploration dual of
+    * [[pagerankPersonalized]]'s soft ranking). `rounds` rounds statically
+    * unrolled under the [[pagerank]] discipline: no per-round driver
+    * round-trip, and the oracle unrolls the identical rounds so the hash
+    * match is exact; entities unreached within `rounds` hops are absent
+    * (an R-round BFS is the honest semantics — it IS the radius-R
+    * neighborhood).
+    *
+    * Shape per round: the unrolling makes the FRONTIER a static predicate
+    * (`d = round − 1` — BFS discovers a node only from distance-(i−1)
+    * nodes, so propagating from the full reached set would be wasted
+    * work), so each round is one equi-join of edges against the
+    * frontier + one min hash-agg + one left join back into the
+    * node-cardinality distance relation. Edges never re-shuffle across
+    * rounds at production (bucketed edge table, see
+    * [[materializedEdgeTable]]); only distances move.
+    * Output: (entity, dist), seeds at 0, reached entities only.
+    */
+  def bfs(triples: DataFrame, seeds: Seq[String], rounds: Int = 4): DataFrame =
+    bfsOnEdges(pinnedEdges(triples), seeds, rounds)
+
+  /** [[bfs]] over an already-materialized symmetric edge relation. */
+  def bfsOnEdges(edges: DataFrame, seeds: Seq[String],
+      rounds: Int = 4): DataFrame = {
+    require(seeds.nonEmpty, "bfs needs a seed set")
+    val init = edges.select(col("x").as("n")).distinct()
+      .select(col("n"), when(col("n").isin(seeds: _*), lit(0L)).as("d"))
+    val fin = (1 to rounds).foldLeft(init) { (dist, i) =>
+      val frontier = dist.where(col("d") === lit((i - 1).toLong))
+      val prop = edges.join(frontier, col("x") === col("n"))
+        .groupBy(col("y")).agg(min(col("d") + 1).as("nd"))
+      // least() skips nulls on both engines: an already-reached node keeps
+      // its (strictly smaller) distance, an unreached one takes nd or
+      // stays null
+      dist.join(prop, col("n") === col("y"), "left")
+        .select(col("n"), least(col("d"), col("nd")).as("d"))
+    }
+    fin.where(col("d").isNotNull)
+      .select(col("n").as("entity"), col("d").as("dist"))
   }
 
   private val materializedEdgeTbl =

@@ -88,6 +88,61 @@ object TripleStore {
     }
   }
 
+  /** SIBLING (object-join) BGP — the 2-hop query shape a star can't
+    * express: "subjects sharing a `via` object with any subject matching
+    * the constraints" (e.g. postings located in the same city as postings
+    * requiring skill X — the `?s1 :via ?o . ?s2 :via ?o` object-join of
+    * SPARQL BGPs). Seed subjects include themselves in the result (they
+    * share their own object) — inner SPARQL semantics, no special case.
+    *
+    * Join plan on the committed store: the seed side is [[starQuery]]'s
+    * constraint machinery (partition-pruned selections, broadcast semi
+    * joins) reduced to a distinct subject set; hop 1 semi-joins the
+    * pruned `via` scan on those subjects and distincts to the shared
+    * OBJECT set (city/company-cardinality — far below subjects);
+    * hop 2 semi-joins the same pruned `via` scan on that object set,
+    * broadcast by default (`broadcastObjs = false` for hub objects —
+    * the semi join then shuffles on obj). The `via` predicate's bytes
+    * are read twice but nothing else's ever — both hops prune to the
+    * `pred=via` partitions.
+    * Output: (subj, via_obj) — one row per qualifying (subject, shared
+    * object) pair, exact SPARQL combination semantics.
+    */
+  def siblingQuery(triples: DataFrame, via: String,
+      constraints: Seq[TriplePattern],
+      broadcastObjs: Boolean = true): DataFrame = {
+    require(constraints.nonEmpty, "siblingQuery needs seed constraints")
+    require(constraints.forall(_.obj.isDefined),
+      "siblingQuery seeds are constraint patterns (obj required)")
+    val seeds = starQuery(triples,
+      constraints.map(c => TriplePattern(c.pred, c.obj)))
+    val viaScan = triples.where(col("pred") === via)
+      .select(col("subj"), col("obj"))
+    val seedObjs = viaScan.join(seeds, Seq("subj"), "left_semi")
+      .select(col("obj")).distinct()
+    viaScan
+      .join(if (broadcastObjs) broadcast(seedObjs) else seedObjs,
+        Seq("obj"), "left_semi")
+      .select(col("subj"), col("obj").as("via_obj"))
+  }
+
+  /** Per-predicate catalog statistics — the selectivity numbers a BGP
+    * planner orders patterns by (and the first sanity report run over any
+    * freshly-committed store): triple count, distinct subjects, distinct
+    * objects per predicate. ONE pass: a single grouping-sets-free hash-agg
+    * with two distinct aggregates (Catalyst plans the standard 3-way
+    * expand + two-level partial agg — map-side combine keeps the shuffle
+    * at distinct-value cardinality, never triple cardinality). On the
+    * committed store this is also per-partition parallel: `pred` is the
+    * partition column, so groups never cross predicate directories.
+    * Output: (pred, n_triples, n_subj, n_obj).
+    */
+  def predicateStats(triples: DataFrame): DataFrame =
+    triples.groupBy(col("pred")).agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("subj")).as("n_subj"),
+      countDistinct(col("obj")).as("n_obj"))
+
   private val materializedTbl =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

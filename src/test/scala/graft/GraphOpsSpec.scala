@@ -122,6 +122,43 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r2 === Set("T1", "T2", "T3", "C1"))
   }
 
+  test("degreeHistogram: binary-digit-count buckets, exact ranges") {
+    // degrees A=2, B=2, C=3, D=1 → buckets: 1→0, {2,3}→1
+    val r = GraphOps.degreeHistogram(triples).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(r === Map(0L -> ((1L, 1L, 1L)), 1L -> ((3L, 2L, 3L))))
+  }
+
+  test("edgeLift: exact integer lift over the half relation") {
+    // nDocs=3; m: A=2 B=2 C=2 D=1; w: A-B=2, A-C=1, B-C=1, C-D=1
+    // lift(A,B) = 3·2·1e6 div 4 = 1500000; lift(A,C) = 3·1e6 div 4 = 750000
+    // lift(C,D) = 3·1e6 div 2 = 1500000 (rarity of D compensates w=1)
+    val r = GraphOps.edgeLift(triples).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(r === Map(
+      ("A", "B") -> ((2L, 1500000L)), ("A", "C") -> ((1L, 750000L)),
+      ("B", "C") -> ((1L, 750000L)), ("C", "D") -> ((1L, 1500000L))))
+  }
+
+  test("bfs: hop distances from a seed; radius bounds the reached set") {
+    val r = GraphOps.bfs(triples, seeds = Seq("A"), rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r === Map("A" -> 0L, "B" -> 1L, "C" -> 1L, "D" -> 2L))
+    // radius 1: D (2 hops away) is not reached and is absent
+    val r1 = GraphOps.bfs(triples, seeds = Seq("A"), rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 === Map("A" -> 0L, "B" -> 1L, "C" -> 1L))
+  }
+
+  test("bfs: multi-source takes the min over seeds") {
+    val r = GraphOps.bfs(triples, seeds = Seq("B", "D"), rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // C is 1 hop from both B and D; A is 1 from B
+    assert(r === Map("B" -> 0L, "D" -> 0L, "A" -> 1L, "C" -> 1L))
+  }
+
   test("triangles: degree-ordered enumeration finds the one triangle, thrice") {
     val t = GraphOps.triangles(triples).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -61,6 +61,35 @@ class TripleStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException](TripleStore.starQuery(triples, Nil))
   }
 
+  test("siblingQuery: object join reaches subjects the constraints don't match") {
+    // D4 shares D1's city but has no skills — reachable only through the
+    // object join; D2 (Java, but no locatedIn) contributes no objects
+    val t = triples.union(Seq(("D4", "locatedIn", "L1"),
+      ("D4", "hasTitle", "T9")).toDF("subj", "pred", "obj"))
+    val r = TripleStore.siblingQuery(t, via = "locatedIn",
+      constraints = Seq(TriplePattern("requiresSkill", obj = Some("Java"))))
+      .collect().toSet
+    assert(r === Set(Row("D1", "L1"), Row("D4", "L1")))
+    // non-broadcast path: identical result
+    val r2 = TripleStore.siblingQuery(t, via = "locatedIn",
+      constraints = Seq(TriplePattern("requiresSkill", obj = Some("Java"))),
+      broadcastObjs = false).collect().toSet
+    assert(r2 === r)
+    // a bind-only pattern is not a seed constraint
+    intercept[IllegalArgumentException](TripleStore.siblingQuery(t,
+      via = "locatedIn",
+      constraints = Seq(TriplePattern("hasTitle", bind = Some("t")))))
+  }
+
+  test("predicateStats: per-predicate triple / distinct-subject / distinct-object counts") {
+    val r = TripleStore.predicateStats(triples).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(r === Map(
+      "requiresSkill" -> ((4L, 3L, 2L)), "requiresLanguage" -> ((4L, 3L, 2L)),
+      "hasTitle" -> ((4L, 3L, 3L)), "locatedIn" -> ((2L, 2L, 2L))))
+  }
+
   test("materialized store: per-predicate scans are partition-pruned") {
     val raw = triples
       .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
