@@ -189,7 +189,7 @@ object OpsEntries {
     * digits via strpos, packed with integer shifts — no precision-losing
     * float pow). Identical to Spark's `conv(substring(md5(x),1,15),16,10)`.
     */
-  private def duckHash60(sExpr: String): String =
+  private[graft] def duckHash60(sExpr: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 15), k ->
        |    ((strpos('0123456789abcdef', substr(md5($sExpr), k, 1)) - 1)::BIGINT
        |      << (4 * (15 - k))))) AS BIGINT)""".stripMargin

@@ -169,6 +169,15 @@ object SparkEntry {
           Pipeline.defaultGazetteers(s)), tag = dir)
       TripleStore.predicateStats(s.read.parquet(root))
     }),
+    // -- KMV sketch: the 10^12-row path for the same catalog stats --
+    "kg_predicate_card_sketch" -> ((s, dir) => {
+      import graft.kg.query.TripleStore
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      TripleStore.predicateCardSketch(s.read.parquet(root))
+    }),
     // -- degree histogram: the hub-skew diagnostic for the entity graph --
     "kg_degree_hist" -> ((s, dir) =>
       graft.kg.graph.GraphOps.degreeHistogram(Pipeline.allTriples(
@@ -479,6 +488,33 @@ object SparkEntry {
        |  CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
        |FROM triples GROUP BY 1""".stripMargin
 
+  /** KMV sketch stated declaratively: distinct portable-60-bit hashes per
+    * predicate, ranked ascending, estimate (k−1)·2^60 // h_k in HUGEINT
+    * (Spark side does the identical product in DECIMAL(38,0) and `div`s
+    * back to long) — bit-exact because a set's bottom-k is derivation-
+    * order-free.
+    */
+  private val predicateCardSketchOracle: String = {
+    val M = "1152921504606846976" // 2^60
+    def side(src: String, k: Int, tag: String) =
+      s"""h$tag AS (SELECT DISTINCT pred,
+         |  ${OpsEntries.duckHash60(src)} AS h FROM triples),
+         |r$tag AS (SELECT pred, h,
+         |  row_number() OVER (PARTITION BY pred ORDER BY h) AS rn FROM h$tag),
+         |a$tag AS (SELECT pred, count(*) AS n,
+         |  max(CASE WHEN rn = $k THEN h END) AS hk
+         |  FROM r$tag WHERE rn <= $k GROUP BY 1)""".stripMargin
+    s"""WITH triples AS ($allTriplesOracle),
+       |${side("subj", 64, "su")},
+       |${side("obj", 8, "ob")}
+       |SELECT s.pred,
+       |  CAST(CASE WHEN s.n < 64 THEN s.n
+       |       ELSE (63::HUGEINT * $M) // s.hk END AS BIGINT) AS est_subj,
+       |  CAST(CASE WHEN o.n < 8 THEN o.n
+       |       ELSE (7::HUGEINT * $M) // o.hk END AS BIGINT) AS est_obj
+       |FROM asu s JOIN aob o ON s.pred = o.pred""".stripMargin
+  }
+
   /** Degree histogram with the binary-digit-count bucket (floor(log2) with
     * no float log) — exact on both engines.
     */
@@ -683,6 +719,7 @@ object SparkEntry {
     "kg_edge_lift" -> edgeLiftOracle,
     "kg_sibling_query" -> siblingQueryOracle,
     "kg_predicate_stats" -> predicateStatsOracle,
+    "kg_predicate_card_sketch" -> predicateCardSketchOracle,
     "kg_degree_hist" -> degreeHistOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,

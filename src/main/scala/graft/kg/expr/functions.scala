@@ -12,6 +12,12 @@ object functions {
 
   def l2_norm(a: Column): Column = VectorExprs.l2Norm(a)
 
+  /** KMV bottom-k sketch aggregate (Column API only — aggregates register
+    * through `Column.toAggregateExpression`, not the scalar FunctionRegistry
+    * path).
+    */
+  def kmin_values(h: Column, k: Int): Column = KMinValues.kminValues(h, k)
+
   /** Hyperplane-LSH band keys (Column API only — the plane matrix is a
     * constructor parameter, not an expression, so no SQL registration).
     */

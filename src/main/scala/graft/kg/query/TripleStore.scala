@@ -143,6 +143,39 @@ object TripleStore {
       countDistinct(col("subj")).as("n_subj"),
       countDistinct(col("obj")).as("n_obj"))
 
+  /** [[predicateStats]]' SKETCHED sibling — the 10^12-row path: per-
+    * predicate distinct-subject / distinct-object estimates via the KMV
+    * bottom-k sketch ([[graft.kg.expr.KMinValues]]). Where the exact stats
+    * shuffle every distinct (pred, value) pair, the sketch's partial
+    * aggregation absorbs cardinality map-side and ships ≤ k longs per
+    * (task, predicate) — the shuffle is sketch-sized, not data-sized.
+    *
+    * Values are the portable 60-bit md5 hash (shared with [[graft.ops
+    * .Dedup]]'s family, so DuckDB reproduces them bit-identically);
+    * estimate = (k−1)·2^60 div h_k with h_k the k-th smallest distinct
+    * hash — EXACT integer arithmetic (the 2^66-scale product in
+    * DECIMAL(38,0), integral-divided back to long), and exact COUNT when
+    * a group held fewer than k distinct values (the sketch degenerates to
+    * the distinct set itself). Expected relative error ≈ 1/√(k−2).
+    * Output: (pred, est_subj, est_obj).
+    */
+  def predicateCardSketch(triples: DataFrame, kSubj: Int = 64,
+      kObj: Int = 8): DataFrame = {
+    val M = 1152921504606846976L // 2^60, the hash range
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def est(arr: String, k: Int) =
+      when(size(col(arr)) < k, size(col(arr)).cast("long")).otherwise(
+        expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div element_at($arr, $k)"))
+    triples
+      .select(col("pred"), h60(col("subj")).as("hs"), h60(col("obj")).as("ho"))
+      .groupBy(col("pred"))
+      .agg(graft.kg.expr.functions.kmin_values(col("hs"), kSubj).as("ks"),
+        graft.kg.expr.functions.kmin_values(col("ho"), kObj).as("ko"))
+      .select(col("pred"), est("ks", kSubj).as("est_subj"),
+        est("ko", kObj).as("est_obj"))
+  }
+
   private val materializedTbl =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
