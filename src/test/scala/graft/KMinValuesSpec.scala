@@ -35,6 +35,18 @@ class KMinValuesSpec extends SparkTestBase {
     assert(run(1) === run(13))
   }
 
+  test("kmin_values: plan runs partial aggregation (sketch-sized shuffle)") {
+    import spark.implicits._
+    val plan = Seq((1, 2L)).toDF("g", "h").groupBy(col("g"))
+      .agg(kmin_values(col("h"), 4)).queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial_kmin_values stage BELOW the exchange — the property that
+    // makes the shuffle carry <= k longs per (task, group) instead of
+    // every distinct value
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.contains("partial_kmin_values"), plan.take(1500))
+  }
+
   test("predicateCardSketch: exact below k, bounded-error estimate at k") {
     import spark.implicits._
     // pred A: 3 distinct objects (< kObj=8 -> exact); pred B: 2000 distinct
