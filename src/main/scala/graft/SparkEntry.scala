@@ -178,6 +178,26 @@ object SparkEntry {
           Pipeline.defaultGazetteers(s)), tag = dir)
       TripleStore.predicateCardSketch(s.read.parquet(root))
     }),
+    // -- incremental sketch: shard sketches fold into stored state --
+    "kg_card_sketch_increment" -> ((s, dir) => {
+      import graft.kg.query.TripleStore
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      val t = s.read.parquet(root)
+      // deterministic doc split: base "corpus" vs daily "shard"
+      val side = pmod(
+        conv(substring(md5(col("subj")), 1, 15), 16, 10).cast("long"), lit(2L))
+      TripleStore.estimateFromSketches(TripleStore.mergeKminSketches(
+        TripleStore.predicateKminSketches(t.where(side === 0L)),
+        TripleStore.predicateKminSketches(t.where(side === 1L))))
+    }),
+    // -- clustering coefficient: neighborhood interlinkedness per entity --
+    "kg_clustering_coeff" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.clusteringCoefficient(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- degree histogram: the hub-skew diagnostic for the entity graph --
     "kg_degree_hist" -> ((s, dir) =>
       graft.kg.graph.GraphOps.degreeHistogram(Pipeline.allTriples(
@@ -515,6 +535,26 @@ object SparkEntry {
        |FROM asu s JOIN aob o ON s.pred = o.pred""".stripMargin
   }
 
+  /** Clustering coefficient: the triangle CTEs + degrees + the identical
+    * exact integer ratio — bit-exact.
+    */
+  private val clusteringCoeffOracle: String =
+    s"""$coocCtes,
+       |und AS (SELECT x, y FROM edges WHERE x < y),
+       |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       |        FROM und e1 JOIN und e2 ON e1.y = e2.x
+       |        JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y),
+       |pern AS (SELECT a AS entity FROM tri UNION ALL SELECT b FROM tri
+       |         UNION ALL SELECT c FROM tri),
+       |nt AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_tri
+       |       FROM pern GROUP BY 1)
+       |SELECT d.x AS entity, d.deg,
+       |  COALESCE(nt.n_tri, 0) AS n_tri,
+       |  CAST(CASE WHEN d.deg < 2 THEN 0
+       |       ELSE (2 * COALESCE(nt.n_tri, 0) * 1000000)
+       |            // (d.deg * (d.deg - 1)) END AS BIGINT) AS lcc_e6
+       |FROM deg d LEFT JOIN nt ON d.x = nt.entity""".stripMargin
+
   /** Degree histogram with the binary-digit-count bucket (floor(log2) with
     * no float log) — exact on both engines.
     */
@@ -720,6 +760,11 @@ object SparkEntry {
     "kg_sibling_query" -> siblingQueryOracle,
     "kg_predicate_stats" -> predicateStatsOracle,
     "kg_predicate_card_sketch" -> predicateCardSketchOracle,
+    // the merge-identity pairing: the INCREMENTAL (base-sketch ∪ shard-
+    // sketch) estimates must equal the from-scratch full-corpus sketch —
+    // the oracle IS the from-scratch SQL
+    "kg_card_sketch_increment" -> predicateCardSketchOracle,
+    "kg_clustering_coeff" -> clusteringCoeffOracle,
     "kg_degree_hist" -> degreeHistOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,

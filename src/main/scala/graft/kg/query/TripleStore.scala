@@ -160,20 +160,63 @@ object TripleStore {
     * Output: (pred, est_subj, est_obj).
     */
   def predicateCardSketch(triples: DataFrame, kSubj: Int = 64,
+      kObj: Int = 8): DataFrame =
+    estimateFromSketches(predicateKminSketches(triples, kSubj, kObj),
+      kSubj, kObj)
+
+  /** The sketch STATE of [[predicateCardSketch]]: (pred, ks, ko) with
+    * ks/ko the ascending bottom-k hash arrays — what a production catalog
+    * STORES per partition/shard (vs the estimates, which are derived and
+    * not mergeable).
+    */
+  def predicateKminSketches(triples: DataFrame, kSubj: Int = 64,
       kObj: Int = 8): DataFrame = {
-    val M = 1152921504606846976L // 2^60, the hash range
     def h60(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    def est(arr: String, k: Int) =
-      when(size(col(arr)) < k, size(col(arr)).cast("long")).otherwise(
-        expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div element_at($arr, $k)"))
     triples
       .select(col("pred"), h60(col("subj")).as("hs"), h60(col("obj")).as("ho"))
       .groupBy(col("pred"))
       .agg(graft.kg.expr.functions.kmin_values(col("hs"), kSubj).as("ks"),
         graft.kg.expr.functions.kmin_values(col("ho"), kObj).as("ko"))
-      .select(col("pred"), est("ks", kSubj).as("est_subj"),
-        est("ko", kObj).as("est_obj"))
+  }
+
+  /** The estimator over stored sketch state: exact COUNT below k,
+    * (k−1)·2^60 div h_k at k (exact integer arithmetic — DECIMAL(38,0)
+    * product, integral divide back to long).
+    */
+  def estimateFromSketches(sketches: DataFrame, kSubj: Int = 64,
+      kObj: Int = 8): DataFrame = {
+    val M = 1152921504606846976L // 2^60, the hash range
+    def est(arr: String, k: Int) =
+      when(size(col(arr)) < k, size(col(arr)).cast("long")).otherwise(
+        expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div element_at($arr, $k)"))
+    sketches.select(col("pred"), est("ks", kSubj).as("est_subj"),
+      est("ko", kObj).as("est_obj"))
+  }
+
+  /** INCREMENTAL sketch maintenance — the daily-shard path of the catalog
+    * stats (the [[graft.ops.IncrementalDedup]] discipline applied to
+    * statistics): bottom-k is ASSOCIATIVE and COMMUTATIVE over sets, so
+    * `bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))` EXACTLY — a new
+    * shard's sketch folds into the stored sketch with pure array
+    * arithmetic (union-dedup, sort, take k; ≤ 2k elements per row, no
+    * corpus contact at all), and the merged estimates are bit-identical
+    * to sketching base ∪ shard from scratch. The driver pairing states
+    * exactly that identity: `kg_card_sketch_increment` (merge of two
+    * half-corpus sketches) shares its oracle arithmetic with the
+    * from-scratch sketch of the full corpus.
+    */
+  def mergeKminSketches(stored: DataFrame, shard: DataFrame,
+      kSubj: Int = 64, kObj: Int = 8): DataFrame = {
+    def m(a: String, b: String, k: Int) = expr(
+      s"""slice(array_sort(array_union(
+         |  coalesce($a, cast(array() as array<bigint>)),
+         |  coalesce($b, cast(array() as array<bigint>)))), 1, $k)""".stripMargin)
+    stored.select(col("pred"), col("ks").as("ks1"), col("ko").as("ko1"))
+      .join(shard.select(col("pred"), col("ks").as("ks2"), col("ko").as("ko2")),
+        Seq("pred"), "full_outer")
+      .select(col("pred"), m("ks1", "ks2", kSubj).as("ks"),
+        m("ko1", "ko2", kObj).as("ko"))
   }
 
   private val materializedTbl =

@@ -122,6 +122,17 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r2 === Set("T1", "T2", "T3", "C1"))
   }
 
+  test("clusteringCoefficient: exact e6 ratios, star hub and isolate at 0") {
+    // deg A=2 B=2 C=3 D=1; n_tri A=B=C=1, D=0
+    // lcc(A) = 2·1e6 div 2 = 1e6 (both neighbors adjacent); lcc(C) = 2e6 div 6
+    val r = GraphOps.clusteringCoefficient(triples).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(r === Map(
+      "A" -> ((2L, 1L, 1000000L)), "B" -> ((2L, 1L, 1000000L)),
+      "C" -> ((3L, 1L, 333333L)), "D" -> ((1L, 0L, 0L))))
+  }
+
   test("degreeHistogram: binary-digit-count buckets, exact ranges") {
     // degrees A=2, B=2, C=3, D=1 → buckets: 1→0, {2,3}→1
     val r = GraphOps.degreeHistogram(triples).collect()

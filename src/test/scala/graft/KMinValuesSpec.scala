@@ -47,6 +47,26 @@ class KMinValuesSpec extends SparkTestBase {
     assert(plan.contains("partial_kmin_values"), plan.take(1500))
   }
 
+  test("mergeKminSketches: merge of shard sketches == from-scratch sketch") {
+    import spark.implicits._
+    val t = (0 until 600).map(i => (s"D$i", if (i % 5 == 0) "P" else "Q", s"o$i"))
+      .toDF("subj", "pred", "obj")
+    // deterministic split; "R" exists only in the shard side
+    val base = t.where(expr("pmod(xxhash64(subj), 2) = 0"))
+    val shard = t.where(expr("pmod(xxhash64(subj), 2) = 1"))
+      .union(Seq(("DX", "R", "ox")).toDF("subj", "pred", "obj"))
+    val full = t.union(Seq(("DX", "R", "ox")).toDF("subj", "pred", "obj"))
+    def collectEst(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val merged = collectEst(TripleStore.estimateFromSketches(
+      TripleStore.mergeKminSketches(
+        TripleStore.predicateKminSketches(base),
+        TripleStore.predicateKminSketches(shard))))
+    val scratch = collectEst(TripleStore.predicateCardSketch(full))
+    assert(merged === scratch)
+    assert(merged.contains("R")) // one-sided pred survives the full-outer merge
+  }
+
   test("predicateCardSketch: exact below k, bounded-error estimate at k") {
     import spark.implicits._
     // pred A: 3 distinct objects (< kObj=8 -> exact); pred B: 2000 distinct
