@@ -193,6 +193,11 @@ object SparkEntry {
         TripleStore.predicateKminSketches(t.where(side === 0L)),
         TripleStore.predicateKminSketches(t.where(side === 1L))))
     }),
+    // -- edge support/embeddedness: bridge-vs-clique edge classification --
+    "kg_edge_support" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.edgeSupport(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- clustering coefficient: neighborhood interlinkedness per entity --
     "kg_clustering_coeff" -> ((s, dir) =>
       graft.kg.graph.GraphOps.clusteringCoefficient(Pipeline.allTriples(
@@ -535,6 +540,32 @@ object SparkEntry {
        |FROM asu s JOIN aob o ON s.pred = o.pred""".stripMargin
   }
 
+  /** Edge support/embeddedness from the plain x<y orientation (a<b<c in
+    * the oracle's tri CTE, so edge credits are value-ordered for free) —
+    * per-edge counts are orientation-independent, same proof obligation as
+    * the per-node pairing.
+    */
+  private val edgeSupportOracle: String =
+    s"""$coocCtes,
+       |und AS (SELECT x, y FROM edges WHERE x < y),
+       |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       |        FROM und e1 JOIN und e2 ON e1.y = e2.x
+       |        JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y),
+       |es AS (SELECT a AS x, b AS y FROM tri
+       |       UNION ALL SELECT b, c FROM tri
+       |       UNION ALL SELECT a, c FROM tri),
+       |sup AS (SELECT x, y, CAST(count(*) AS BIGINT) AS supp
+       |        FROM es GROUP BY 1, 2)
+       |SELECT u.x, u.y, COALESCE(s.supp, 0) AS supp,
+       |  CAST(CASE WHEN dx.deg + dy.deg - 2 - COALESCE(s.supp, 0) <= 0 THEN 0
+       |       ELSE (COALESCE(s.supp, 0) * 1000000)
+       |            // (dx.deg + dy.deg - 2 - COALESCE(s.supp, 0))
+       |       END AS BIGINT) AS emb_e6
+       |FROM und u
+       |JOIN deg dx ON u.x = dx.x
+       |JOIN deg dy ON u.y = dy.x
+       |LEFT JOIN sup s ON u.x = s.x AND u.y = s.y""".stripMargin
+
   /** Clustering coefficient: the triangle CTEs + degrees + the identical
     * exact integer ratio — bit-exact.
     */
@@ -765,6 +796,7 @@ object SparkEntry {
     // the oracle IS the from-scratch SQL
     "kg_card_sketch_increment" -> predicateCardSketchOracle,
     "kg_clustering_coeff" -> clusteringCoeffOracle,
+    "kg_edge_support" -> edgeSupportOracle,
     "kg_degree_hist" -> degreeHistOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,

@@ -404,8 +404,12 @@ object GraphOps {
   def triangles(triples: DataFrame): DataFrame =
     trianglesOnEdges(pinnedEdges(triples))
 
-  /** [[triangles]] over an already-materialized symmetric edge relation. */
-  def trianglesOnEdges(edges: DataFrame): DataFrame = {
+  /** The degree-ordered triangle enumeration shared by [[trianglesOnEdges]]
+    * and [[edgeSupportOnEdges]]: every triangle exactly once as (a, b, c)
+    * in (deg, id) order — NOT value order (normalize with least/greatest
+    * when value-ordered edges are needed).
+    */
+  private def triangleTriples(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
     val und = edges.where(col("x") < col("y"))
     val ord = und
@@ -416,13 +420,56 @@ object GraphOps {
           .otherwise(col("y")).as("src"),
         when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y"))
           .otherwise(col("x")).as("dst"))
-    val tri = ord.as("e1")
+    ord.as("e1")
       .join(ord.as("e2"), col("e1.dst") === col("e2.src"))
       .join(ord.as("e3"),
         col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("entity"))
+  }
+
+  /** [[triangles]] over an already-materialized symmetric edge relation. */
+  def trianglesOnEdges(edges: DataFrame): DataFrame =
+    triangleTriples(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("entity"))
       .groupBy(col("entity")).agg(count(lit(1)).as("n_tri"))
+
+  /** Per-edge triangle SUPPORT and EMBEDDEDNESS — the edge-strength dual
+    * of [[clusteringCoefficient]] and the building block of k-truss
+    * decompositions: supp = triangles through the edge (= common
+    * neighbors of its endpoints), emb_e6 = supp·1e6 div
+    * (deg_x + deg_y − 2 − supp) — the exact-integer Jaccard of the two
+    * neighborhoods (minus the endpoints themselves): 1e6 = the edge lives
+    * entirely inside a clique, 0 = a pure bridge. Bridges with high lift
+    * but zero embeddedness are the classic "spurious co-occurrence"
+    * signature. Enumeration is the same degree-ordered join as
+    * [[triangles]] (hot entities bounded at O(√m) join groups); each
+    * triangle credits its three value-normalized edges through one
+    * explode + hash-agg. Output: (x, y, supp, emb_e6) for every x < y
+    * edge, zero-support edges included via left join.
+    */
+  def edgeSupport(triples: DataFrame): DataFrame =
+    edgeSupportOnEdges(pinnedEdges(triples))
+
+  /** [[edgeSupport]] over an already-materialized symmetric edge relation. */
+  def edgeSupportOnEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val supp = triangleTriples(edges)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y")),
+        struct(least(col("b"), col("c")).as("x"), greatest(col("b"), col("c")).as("y")),
+        struct(least(col("a"), col("c")).as("x"), greatest(col("a"), col("c")).as("y"))))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("supp"))
+    edges.where(col("x") < col("y"))
+      .join(deg.select(col("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("deg").as("dy")), Seq("y"))
+      .join(supp, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("supp"), lit(0L)).as("supp"),
+        col("dx"), col("dy"))
+      .select(col("x"), col("y"), col("supp"),
+        when(col("dx") + col("dy") - 2 - col("supp") <= 0, lit(0L)).otherwise(
+          expr("(supp * 1000000) div (dx + dy - 2 - supp)")).as("emb_e6"))
   }
 
   /** Local CLUSTERING COEFFICIENT per entity — how interlinked an entity's

@@ -122,6 +122,18 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r2 === Set("T1", "T2", "T3", "C1"))
   }
 
+  test("edgeSupport: per-edge triangle support and exact embeddedness") {
+    // A-B: supp 1 (C), denom 2+2-2-1=1 -> 1e6 (clique edge)
+    // A-C / B-C: supp 1, denom 2+3-2-1=2 -> 500000
+    // C-D: supp 0, denom 2 -> 0 (pure bridge)
+    val r = GraphOps.edgeSupport(triples).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(r === Map(
+      ("A", "B") -> ((1L, 1000000L)), ("A", "C") -> ((1L, 500000L)),
+      ("B", "C") -> ((1L, 500000L)), ("C", "D") -> ((0L, 0L))))
+  }
+
   test("clusteringCoefficient: exact e6 ratios, star hub and isolate at 0") {
     // deg A=2 B=2 C=3 D=1; n_tri A=B=C=1, D=0
     // lcc(A) = 2·1e6 div 2 = 1e6 (both neighbors adjacent); lcc(C) = 2e6 div 6
