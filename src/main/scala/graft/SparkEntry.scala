@@ -198,6 +198,11 @@ object SparkEntry {
       graft.kg.graph.GraphOps.edgeSupport(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    // -- k-truss: edge-level community cores (k=3, 2 peel rounds) --
+    "kg_entity_ktruss" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.ktruss(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- clustering coefficient: neighborhood interlinkedness per entity --
     "kg_clustering_coeff" -> ((s, dir) =>
       graft.kg.graph.GraphOps.clusteringCoefficient(Pipeline.allTriples(
@@ -566,6 +571,39 @@ object SparkEntry {
        |JOIN deg dy ON u.y = dy.x
        |LEFT JOIN sup s ON u.x = s.x AND u.y = s.y""".stripMargin
 
+  /** k-truss, the SAME 2 statically-unrolled peel rounds (k=3) + final
+    * support labeling as GraphOps.ktruss — per-round triangle enumeration
+    * from the plain orientation (per-edge counts are orientation-
+    * independent) — bit-exact.
+    */
+  private val entityKtrussOracle: String = {
+    // MATERIALIZED is load-bearing: each h CTE is referenced 3× by the next
+    // round's triangle join — without the hint DuckDB inlines the whole
+    // upstream derivation into every reference (3^rounds expansion of the
+    // corpus CTEs; measured minutes instead of seconds)
+    def supCtes(prev: String, i: Int) =
+      s"""tri$i AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+         |          FROM $prev e1 JOIN $prev e2 ON e1.y = e2.x
+         |          JOIN $prev e3 ON e3.x = e1.x AND e3.y = e2.y),
+         |es$i AS (SELECT a AS x, b AS y FROM tri$i
+         |         UNION ALL SELECT b, c FROM tri$i
+         |         UNION ALL SELECT a, c FROM tri$i),
+         |sup$i AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS supp
+         |          FROM es$i GROUP BY 1, 2)""".stripMargin
+    def peel(prev: String, i: Int) =
+      s"""${supCtes(prev, i)},
+         |h$i AS MATERIALIZED (SELECT h.x, h.y FROM $prev h
+         |        LEFT JOIN sup$i s ON h.x = s.x AND h.y = s.y
+         |        WHERE COALESCE(s.supp, 0) >= 1)""".stripMargin
+    s"""$coocCtes,
+       |h0 AS MATERIALIZED (SELECT x, y FROM edges WHERE x < y),
+       |${peel("h0", 1)},
+       |${peel("h1", 2)},
+       |${supCtes("h2", 3)}
+       |SELECT h.x, h.y, COALESCE(s.supp, 0) AS supp
+       |FROM h2 h LEFT JOIN sup3 s ON h.x = s.x AND h.y = s.y""".stripMargin
+  }
+
   /** Clustering coefficient: the triangle CTEs + degrees + the identical
     * exact integer ratio — bit-exact.
     */
@@ -659,9 +697,11 @@ object SparkEntry {
     * endpoints — bit-exact.
     */
   private val entityKcoreOracle: String = {
+    // MATERIALIZED: e/s are each referenced 2-3× by the next round —
+    // without the hint DuckDB re-inlines the upstream chain per reference
     def round(prevE: String, i: Int) =
-      s"""s$i AS (SELECT x FROM $prevE GROUP BY x HAVING count(*) >= 2),
-         |e$i AS (SELECT e.x, e.y FROM $prevE e
+      s"""s$i AS MATERIALIZED (SELECT x FROM $prevE GROUP BY x HAVING count(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT e.x, e.y FROM $prevE e
          |        JOIN s$i a ON e.x = a.x JOIN s$i b ON e.y = b.x)""".stripMargin
     s"""$coocCtes,
        |e0 AS (SELECT x, y FROM edges),
@@ -797,6 +837,7 @@ object SparkEntry {
     "kg_card_sketch_increment" -> predicateCardSketchOracle,
     "kg_clustering_coeff" -> clusteringCoeffOracle,
     "kg_edge_support" -> edgeSupportOracle,
+    "kg_entity_ktruss" -> entityKtrussOracle,
     "kg_degree_hist" -> degreeHistOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,

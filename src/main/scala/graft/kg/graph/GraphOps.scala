@@ -450,10 +450,11 @@ object GraphOps {
   def edgeSupport(triples: DataFrame): DataFrame =
     edgeSupportOnEdges(pinnedEdges(triples))
 
-  /** [[edgeSupport]] over an already-materialized symmetric edge relation. */
-  def edgeSupportOnEdges(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    val supp = triangleTriples(edges)
+  /** Per-(x<y)-edge triangle counts over a symmetric edge relation —
+    * shared by [[edgeSupportOnEdges]] and the [[ktruss]] peel rounds.
+    */
+  private def edgeTriangleSupport(edges: DataFrame): DataFrame =
+    triangleTriples(edges)
       .select(explode(array(
         struct(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y")),
         struct(least(col("b"), col("c")).as("x"), greatest(col("b"), col("c")).as("y")),
@@ -461,6 +462,11 @@ object GraphOps {
         .as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("supp"))
+
+  /** [[edgeSupport]] over an already-materialized symmetric edge relation. */
+  def edgeSupportOnEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val supp = edgeTriangleSupport(edges)
     edges.where(col("x") < col("y"))
       .join(deg.select(col("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("x").as("y"), col("deg").as("dy")), Seq("y"))
@@ -470,6 +476,36 @@ object GraphOps {
       .select(col("x"), col("y"), col("supp"),
         when(col("dx") + col("dy") - 2 - col("supp") <= 0, lit(0L)).otherwise(
           expr("(supp * 1000000) div (dx + dy - 2 - supp)")).as("emb_e6"))
+  }
+
+  /** k-TRUSS peel — the edge-level dense-substructure filter one notch
+    * above [[kcore]] (every surviving edge sits in ≥ k−2 triangles WITHIN
+    * the truss; a k-truss is the standard community-core definition that
+    * a hub-spoke star can't fake, since spokes have zero support).
+    * `rounds` peel rounds statically unrolled under the [[kcore]]
+    * discipline (fixed-R is the honest semantics; GraphOpsSpec pins a
+    * K4-minus-an-edge fixture whose collapse needs the second round), and
+    * one final support pass labels the survivors. Each round is one
+    * degree-ordered triangle enumeration over the surviving edges (the
+    * [[triangles]] join, O(√m)-bounded hot groups) + one explode/hash-agg
+    * + one left-join filter — all equi-keyed. Output: (x, y, supp) for
+    * x < y edges of the truss, supp counted within it.
+    */
+  def ktruss(triples: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame =
+    ktrussOnEdges(pinnedEdges(triples), k, rounds)
+
+  /** [[ktruss]] over an already-materialized symmetric edge relation. */
+  def ktrussOnEdges(edges: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame = {
+    def sym(half: DataFrame) =
+      half.union(half.select(col("y").as("x"), col("x").as("y")))
+    val fin = (1 to rounds).foldLeft(
+      edges.where(col("x") < col("y")).select(col("x"), col("y"))) { (half, _) =>
+      half.join(edgeTriangleSupport(sym(half)), Seq("x", "y"), "left")
+        .where(coalesce(col("supp"), lit(0L)) >= k - 2)
+        .select(col("x"), col("y"))
+    }
+    fin.join(edgeTriangleSupport(sym(fin)), Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("supp"), lit(0L)).as("supp"))
   }
 
   /** Local CLUSTERING COEFFICIENT per entity — how interlinked an entity's

@@ -122,6 +122,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r2 === Set("T1", "T2", "T3", "C1"))
   }
 
+  test("ktruss: 3-truss keeps the triangle, drops the bridge") {
+    val r = GraphOps.ktruss(triples, k = 3, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(r === Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+  }
+
+  test("ktruss: K4-minus-an-edge collapses under k=4 only at round 2") {
+    val s = spark
+    import s.implicits._
+    // edges 12,13,14,23,24 (no 34): supp(12)=2, others 1. Round 1 of the
+    // 4-truss keeps only 12; round 2 finds it support-less and drops it.
+    val e = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"))
+    val sym = (e ++ e.map(_.swap)).toDF("x", "y")
+    assert(GraphOps.ktrussOnEdges(sym, k = 4, rounds = 2).collect().isEmpty)
+    // 1 round is NOT enough — the unrolled-rounds semantics is real
+    val r1 = GraphOps.ktrussOnEdges(sym, k = 4, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(r1 === Set(("1", "2")))
+    // the full K4 is a genuine 4-truss: all 6 edges, supp 2 within it
+    val k4 = e :+ (("3", "4"))
+    val symK4 = (k4 ++ k4.map(_.swap)).toDF("x", "y")
+    val rK4 = GraphOps.ktrussOnEdges(symK4, k = 4, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rK4.size === 6 && rK4.values.forall(_ === 2L))
+  }
+
   test("edgeSupport: per-edge triangle support and exact embeddedness") {
     // A-B: supp 1 (C), denom 2+2-2-1=1 -> 1e6 (clique edge)
     // A-C / B-C: supp 1, denom 2+3-2-1=2 -> 500000
