@@ -233,6 +233,12 @@ object SparkEntry {
       graft.kg.graph.GraphOps.edgeLift(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    // -- weighted shortest paths: min-cost relatedness from the seed set --
+    "kg_entity_wsp" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.shortestPaths(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")),
+        seeds = Seq("S001", "LANG00"))),
     // -- BFS halo: hop distance from the same seed set, radius 4 --
     "kg_entity_bfs" -> ((s, dir) =>
       graft.kg.graph.GraphOps.bfs(Pipeline.allTriples(
@@ -692,6 +698,37 @@ object SparkEntry {
        |FROM d4 WHERE d IS NOT NULL""".stripMargin
   }
 
+  /** Weighted shortest paths, the SAME 4 statically-unrolled Bellman–Ford
+    * relaxations as GraphOps.shortestPaths (cost 1e6 // w, full reached-set
+    * relaxation each round) — bit-exact.
+    */
+  private val entityWspOracle: String = {
+    val seedsIn = "('S001', 'LANG00')"
+    def round(i: Int) =
+      s"""p$i AS (SELECT e.y, min(d.d + e.c) AS nd
+         |        FROM ce e JOIN d${i - 1} d ON e.x = d.n
+         |        WHERE d.d IS NOT NULL GROUP BY e.y),
+         |d$i AS MATERIALIZED (SELECT d.n, least(d.d, p.nd) AS d
+         |        FROM d${i - 1} d LEFT JOIN p$i p ON d.n = p.y)""".stripMargin
+    s"""WITH triples AS ($allTriplesOracle),
+       |ent AS (SELECT DISTINCT subj AS d, obj AS e FROM triples),
+       |whalf AS (SELECT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y,
+       |                 CAST(count(*) AS BIGINT) AS w
+       |          FROM ent a JOIN ent b ON a.d = b.d AND a.e < b.e
+       |          GROUP BY 1, 2),
+       |ce AS MATERIALIZED (
+       |  SELECT x, y, 1000000 // w AS c FROM whalf
+       |  UNION ALL SELECT y, x, 1000000 // w FROM whalf),
+       |d0 AS MATERIALIZED (SELECT DISTINCT x AS n,
+       |  CASE WHEN x IN $seedsIn THEN CAST(0 AS BIGINT) END AS d FROM ce),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT n AS entity, CAST(d AS BIGINT) AS dist_e6
+       |FROM d4 WHERE d IS NOT NULL""".stripMargin
+  }
+
   /** k-core peel, the SAME 4 statically-unrolled rounds (k=2) as
     * GraphOps.kcore: degrees ≥ k survive, edges restrict to surviving
     * endpoints — bit-exact.
@@ -827,6 +864,7 @@ object SparkEntry {
     "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
     "kg_entity_kcore" -> entityKcoreOracle,
     "kg_entity_bfs" -> entityBfsOracle,
+    "kg_entity_wsp" -> entityWspOracle,
     "kg_edge_lift" -> edgeLiftOracle,
     "kg_sibling_query" -> siblingQueryOracle,
     "kg_predicate_stats" -> predicateStatsOracle,

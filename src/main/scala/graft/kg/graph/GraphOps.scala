@@ -332,6 +332,38 @@ object GraphOps {
       .select(col("n").as("entity"), col("d").as("dist"))
   }
 
+  /** WEIGHTED shortest paths from a seed set — [[bfs]]'s weighted dual:
+    * hop cost = 1e6 div w (stronger co-occurrence = cheaper hop, exact
+    * integer floor; w ≥ 1e6 co-mentions → cost 0 is fine for a
+    * nonnegative relaxation), dist = min-cost path within `rounds` hops.
+    * `rounds` Bellman–Ford relaxation rounds statically unrolled under
+    * the [[pagerank]] discipline (fixed-R is the honest semantics: it IS
+    * the min cost over ≤ R-hop paths, and the oracle unrolls identically
+    * so the hash match is exact). Unlike BFS there is no static frontier
+    * predicate — a cheaper path can re-relax an already-reached node, so
+    * each round joins edges against the full reached set: one equi-join
+    * + min hash-agg + left join, edges loop-invariant
+    * ([[materializedEdgeTable]] layout at production).
+    * Output: (entity, dist_e6), seeds at 0, reached entities only.
+    */
+  def shortestPaths(triples: DataFrame, seeds: Seq[String],
+      rounds: Int = 4): DataFrame = {
+    require(seeds.nonEmpty, "shortestPaths needs a seed set")
+    val edges = coocEdgesWeighted(triples)
+      .select(col("x"), col("y"), expr("1000000 div w").as("c"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val init = edges.select(col("x").as("n")).distinct()
+      .select(col("n"), when(col("n").isin(seeds: _*), lit(0L)).as("d"))
+    val fin = (1 to rounds).foldLeft(init) { (dist, _) =>
+      val prop = edges.join(dist.where(col("d").isNotNull), col("x") === col("n"))
+        .groupBy(col("y")).agg(min(col("d") + col("c")).as("nd"))
+      dist.join(prop, col("n") === col("y"), "left")
+        .select(col("n"), least(col("d"), col("nd")).as("d"))
+    }
+    fin.where(col("d").isNotNull)
+      .select(col("n").as("entity"), col("d").as("dist_e6"))
+  }
+
   private val materializedEdgeTbl =
     scala.collection.concurrent.TrieMap.empty[String, String]
 

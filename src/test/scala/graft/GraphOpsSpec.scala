@@ -201,6 +201,14 @@ class GraphOpsSpec extends SparkTestBase {
     assert(r1 === Map("A" -> 0L, "B" -> 1L, "C" -> 1L))
   }
 
+  test("shortestPaths: weighted relaxation prefers the strong edge") {
+    // costs: A-B = 1e6 div 2 = 500000; A-C, B-C, C-D = 1e6
+    val r = GraphOps.shortestPaths(triples, seeds = Seq("A"), rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r === Map("A" -> 0L, "B" -> 500000L,
+      "C" -> 1000000L, "D" -> 2000000L))
+  }
+
   test("bfs: multi-source takes the min over seeds") {
     val r = GraphOps.bfs(triples, seeds = Seq("B", "D"), rounds = 4).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
