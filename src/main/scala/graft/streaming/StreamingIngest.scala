@@ -90,6 +90,41 @@ object StreamingIngest {
       }
   }
 
+  /** CONTINUOUS co-occurrence graph maintenance: fold each micro-batch of
+    * doc→entity triples into a committed half-edge parquet table through
+    * the BATCH incremental operator
+    * ([[graft.kg.graph.GraphOps.incrementalCoocEdges]]: shard-local pair
+    * derivation + ONE anti-join against stored state) via `foreachBatch` —
+    * the standard Structured-Streaming shape for "stream drives an
+    * idempotent batch increment". Reusing the batch operator is the point:
+    * stream-maintained and daily-batch-maintained edge tables can never
+    * diverge (StreamingSpec pins stream-folded ≡ from-scratch). Contract
+    * (same as the daily-shard path): a document's triples arrive within
+    * one micro-batch — co-occurrence is per-doc, so a doc split across
+    * batches would miss its cross-batch pairs.
+    */
+  def maintainCoocEdges(triples: DataFrame, edgeDir: String): StreamingQuery = {
+    triples.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val stored =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(edgeDir)))
+            spark.read.parquet(edgeDir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("x",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("y",
+                org.apache.spark.sql.types.StringType))))
+        graft.kg.graph.GraphOps.incrementalCoocEdges(stored, batch)
+          .write.mode("append").parquet(edgeDir)
+        ()
+      }
+      .start()
+  }
+
   /** Drive [[firstSeenDocsTtl]] over a parquet dir stream into a memory
     * sink.
     */

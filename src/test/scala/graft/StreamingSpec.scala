@@ -13,6 +13,32 @@ import graft.streaming.StreamingIngest
   */
 class StreamingSpec extends SparkTestBase {
 
+  test("streamed co-occurrence maintenance == from-scratch edges") {
+    import spark.implicits._
+    val b1 = Seq(("D1", "m", "A"), ("D1", "m", "B"), ("D1", "m", "C"),
+      ("D2", "m", "A"), ("D2", "m", "B"))
+    val b2 = Seq(("D3", "m", "C"), ("D3", "m", "D"), // new edge C-D
+      ("D4", "m", "A"), ("D4", "m", "B")) // duplicate A-B: anti-joined away
+    val srcDir = Files.createTempDirectory("stream-cooc-src").toString
+    val edgeDir = Files.createTempDirectory("stream-cooc-edges").toString + "/t"
+    b1.toDF("subj", "pred", "obj").write.mode("append").parquet(srcDir)
+    val q = StreamingIngest.maintainCoocEdges(
+      spark.readStream.schema("subj string, pred string, obj string")
+        .parquet(srcDir), edgeDir)
+    try {
+      q.processAllAvailable()
+      b2.toDF("subj", "pred", "obj").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = spark.read.parquet(edgeDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val scratch = graft.kg.graph.GraphOps.halfCoocEdges(
+      (b1 ++ b2).toDF("subj", "pred", "obj")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // identical relation AND no duplicate rows (the anti-join held)
+    assert(folded.sorted.toSeq === scratch.sorted.toSeq)
+  }
+
   test("streamed span-kind counts reconcile with batch") {
     val dir = Files.createTempDirectory("graft-stream-in").toString
     val postings = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
