@@ -526,15 +526,25 @@ object GraphOps {
   def ktruss(triples: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame =
     ktrussOnEdges(pinnedEdges(triples), k, rounds)
 
-  /** [[ktruss]] over an already-materialized symmetric edge relation. */
+  /** [[ktruss]] over an already-materialized symmetric edge relation.
+    * Each round's surviving half is eagerly checkpointed (graph-sized, the
+    * [[pinnedEdges]] discipline) — load-bearing, not hygiene: the triangle
+    * enumeration self-joins its input 3×, so an un-materialized round-i
+    * half would re-execute the whole round-(i−1) computation per reference
+    * (3^rounds plan blow-up; measured 24 s → ~7 s at sf0.1 for the
+    * default geometry when pinned).
+    */
   def ktrussOnEdges(edges: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame = {
+    def pin(df: DataFrame) = df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def sym(half: DataFrame) =
       half.union(half.select(col("y").as("x"), col("x").as("y")))
     val fin = (1 to rounds).foldLeft(
-      edges.where(col("x") < col("y")).select(col("x"), col("y"))) { (half, _) =>
-      half.join(edgeTriangleSupport(sym(half)), Seq("x", "y"), "left")
-        .where(coalesce(col("supp"), lit(0L)) >= k - 2)
-        .select(col("x"), col("y"))
+      pin(edges.where(col("x") < col("y")).select(col("x"), col("y")))) {
+      (half, _) =>
+        pin(half.join(edgeTriangleSupport(sym(half)), Seq("x", "y"), "left")
+          .where(coalesce(col("supp"), lit(0L)) >= k - 2)
+          .select(col("x"), col("y")))
     }
     fin.join(edgeTriangleSupport(sym(fin)), Seq("x", "y"), "left")
       .select(col("x"), col("y"), coalesce(col("supp"), lit(0L)).as("supp"))
