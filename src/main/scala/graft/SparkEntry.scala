@@ -278,6 +278,41 @@ object SparkEntry {
       mentions.select(col("doc_id").as("subj"),
         lit(Pred.requiresSkill).as("pred"), col("entity_id").as("obj")).distinct()
     }),
+    // -- ontology: transitive closure of the is_a taxonomy (metadata-sized) --
+    "kg_taxonomy_closure" -> ((s, dir) => {
+      import graft.kg.query.Ontology
+      Ontology.transitiveClosure(Ontology.taxonomyDf(s))
+    }),
+    // -- RDFS-style entailment: triples + taxonomy-ancestor objects ----------
+    // ("requiresSkill S007" entails "requiresSkill SCAT1"/"requiresSkill
+    // Skill"); broadcast closure, ONE corpus-scale pass
+    "kg_entailed_triples" -> ((s, dir) => {
+      import graft.kg.query.Ontology
+      Ontology.entailTriples(
+        Pipeline.allTriples(
+          SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+          .select(col("subj"), col("pred"), col("obj")),
+        Ontology.transitiveClosure(Ontology.taxonomyDf(s)))
+    }),
+    // -- label propagation: density-respecting communities (vs CC's ---------
+    // reachability); deterministic min-label tie-break, 3 sync rounds
+    "kg_entity_lpa" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.labelPropagation(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
+    // -- KG-embedding training data: filtered negative samples (TransE-style)
+    "kg_negative_samples" -> ((s, dir) =>
+      graft.kg.train.EmbeddingData.negativeSamples(
+        Pipeline.allTriples(
+          SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+          .select(col("subj"), col("pred"), col("obj")),
+        pred = "requiresSkill",
+        vocab = (0 until 30).map(i => f"S$i%03d"))),
+    // -- DeepWalk-style corpus: one deterministic hash-argmin walk per entity
+    "kg_random_walks" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.randomWalks(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -799,6 +834,115 @@ object SparkEntry {
        |)
        |SELECT a AS entity, min(b) AS component FROM reach GROUP BY a""".stripMargin
 
+  /** The taxonomy VALUES list, embedded verbatim from the single source
+    * ([[graft.kg.query.Ontology.taxonomy]]) — the canonicalOracle/gazPairs
+    * pattern.
+    */
+  private def taxonomyValues: String =
+    graft.kg.query.Ontology.taxonomy
+      .map { case (c, p) => s"('$c', '$p')" }.mkString(", ")
+
+  /** Transitive closure of the is_a taxonomy stated as a recursive CTE —
+    * verifies the statically-unrolled extension joins of
+    * [[graft.kg.query.Ontology.transitiveClosure]] against the declarative
+    * reachability definition.
+    */
+  private val taxonomyClosureOracle: String =
+    s"""WITH RECURSIVE tax(child, parent) AS (
+       |  SELECT * FROM (VALUES $taxonomyValues) v(child, parent)
+       |), reach(child, anc) AS (
+       |  SELECT child, parent FROM tax
+       |  UNION
+       |  SELECT r.child, t.parent FROM reach r JOIN tax t ON r.anc = t.child
+       |)
+       |SELECT child, anc FROM reach""".stripMargin
+
+  /** RDFS-style entailment: the closed-form triples UNION one triple per
+    * taxonomy ancestor of each object (declarative recursive closure) —
+    * verifies the broadcast-join entailment pass.
+    */
+  private val entailedTriplesOracle: String =
+    s"""WITH RECURSIVE triples AS ($allTriplesOracle),
+       |tax(child, parent) AS (
+       |  SELECT * FROM (VALUES $taxonomyValues) v(child, parent)
+       |), reach(child, anc) AS (
+       |  SELECT child, parent FROM tax
+       |  UNION
+       |  SELECT r.child, t.parent FROM reach r JOIN tax t ON r.anc = t.child
+       |)
+       |SELECT subj, pred, obj FROM triples
+       |UNION
+       |SELECT t.subj, t.pred, r.anc AS obj
+       |FROM triples t JOIN reach r ON t.obj = r.child""".stripMargin
+
+  /** Label propagation, the SAME 3 statically-unrolled synchronous rounds
+    * as GraphOps.labelPropagation (neighbor-label count → max count → min
+    * label among ties) — bit-exact. MATERIALIZED on the per-round CTEs:
+    * each is referenced twice by the next round; un-hinted, DuckDB
+    * re-inlines the upstream chain per reference (the ktruss/kcore
+    * lesson).
+    */
+  private val entityLpaOracle: String = {
+    def round(prev: String, i: Int) =
+      s"""c$i AS MATERIALIZED (SELECT e.y, l.lab, CAST(count(*) AS BIGINT) AS c
+         |        FROM edges e JOIN $prev l ON e.x = l.n GROUP BY 1, 2),
+         |m$i AS (SELECT y, max(c) AS mc FROM c$i GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT c.y AS n, min(c.lab) AS lab
+         |        FROM c$i c JOIN m$i m ON c.y = m.y AND c.c = m.mc
+         |        GROUP BY 1)""".stripMargin
+    s"""$coocCtes,
+       |l0 AS (SELECT x AS n, x AS lab FROM deg),
+       |${round("l0", 1)},
+       |${round("l1", 2)},
+       |${round("l2", 3)}
+       |SELECT n AS entity, lab AS label FROM l3""".stripMargin
+  }
+
+  /** Filtered negative samples: identical portable md5-60 corruption index
+    * (mod 30 over the skill vocabulary) + the NOT EXISTS filter against
+    * the true triples — bit-exact vs EmbeddingData.negativeSamples.
+    */
+  private val negativeSamplesOracle: String = {
+    val h = OpsEntries.duckHash60("subj || '|' || obj || '|' || CAST(j AS VARCHAR)")
+    s"""WITH triples AS ($allTriplesOracle),
+       |pos AS (SELECT subj, pred, obj FROM triples WHERE pred = 'requiresSkill'),
+       |cand AS (
+       |  SELECT subj, pred, obj, CAST(j AS BIGINT) AS neg_i,
+       |    printf('S%03d', $h % 30) AS obj_neg
+       |  FROM (SELECT subj, pred, obj, unnest(generate_series(0, 1)) AS j FROM pos)
+       |)
+       |SELECT c.subj, c.pred, c.obj, c.obj_neg, c.neg_i
+       |FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM pos p
+       |                  WHERE p.subj = c.subj AND p.obj = c.obj_neg)""".stripMargin
+  }
+
+  /** Deterministic random walks, the SAME 3 statically-unrolled hash-argmin
+    * steps as GraphOps.randomWalks (min 60-bit hash per walk → min
+    * neighbor among ties) — bit-exact.
+    */
+  private val randomWalksOracle: String = {
+    def step(prev: String, i: Int) = {
+      val h = OpsEntries.duckHash60(s"w.walk_id || '|$i|' || e.y")
+      s"""cnd$i AS MATERIALIZED (SELECT w.walk_id, e.y, $h AS h
+         |         FROM $prev w JOIN edges e ON w.cur = e.x),
+         |mh$i AS (SELECT walk_id, min(h) AS mh FROM cnd$i GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT c.walk_id, min(c.y) AS cur
+         |         FROM cnd$i c JOIN mh$i m
+         |           ON c.walk_id = m.walk_id AND c.h = m.mh
+         |         GROUP BY 1)""".stripMargin
+    }
+    s"""$coocCtes,
+       |w0 AS (SELECT x AS walk_id, x AS cur FROM deg),
+       |${step("w0", 1)},
+       |${step("w1", 2)},
+       |${step("w2", 3)}
+       |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+       |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
+       |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM w2
+       |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM w3""".stripMargin
+  }
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -879,6 +1023,11 @@ object SparkEntry {
     "kg_degree_hist" -> degreeHistOracle,
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
+    "kg_taxonomy_closure" -> taxonomyClosureOracle,
+    "kg_entailed_triples" -> entailedTriplesOracle,
+    "kg_entity_lpa" -> entityLpaOracle,
+    "kg_negative_samples" -> negativeSamplesOracle,
+    "kg_random_walks" -> randomWalksOracle,
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

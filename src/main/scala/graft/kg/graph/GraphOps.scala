@@ -1,6 +1,6 @@
 package graft.kg.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the MATERIALIZED knowledge graph — the consumption
@@ -570,5 +570,91 @@ object GraphOps {
       .select(col("entity"), col("deg"), col("n_tri"),
         when(col("deg") < 2, lit(0L)).otherwise(
           expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")).as("lcc_e6"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * DETERMINISTIC): community detection that — unlike [[components]] —
+    * respects density, not mere reachability (a single bridge edge does
+    * not merge two tight clusters). Labels start as the node's own id;
+    * each of `rounds` statically-unrolled synchronous rounds every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * MIN label (the published algorithm breaks ties randomly; the
+    * deterministic tie-break is what makes the identically-unrolled
+    * oracle hash-exact and reruns reproducible — a production requirement
+    * anyway).
+    *
+    * Shape per round: edges ⋈ labels on the source key → (dst, label)
+    * count hash-agg → per-dst max-count hash-agg → join back + min-label
+    * hash-agg. All equi-keyed, all partial-aggregatable map-side; like
+    * [[pagerankOnEdges]] the edge relation is loop-invariant (bucket it
+    * at production scale) and only the node-cardinality label relation
+    * moves per round. No driver round-trips (fixed K; convergence-checked
+    * LPA would add the CC-style signature test).
+    * Output: (entity, label).
+    */
+  def labelPropagation(triples: DataFrame, rounds: Int = 3): DataFrame =
+    labelPropagationOnEdges(pinnedEdges(triples), rounds)
+
+  /** [[labelPropagation]] over an already-materialized symmetric edge
+    * relation.
+    */
+  def labelPropagationOnEdges(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val init = edges.select(col("x").as("n")).distinct()
+      .select(col("n"), col("n").as("lab"))
+    val fin = (1 to rounds).foldLeft(init) { (labs, _) =>
+      val cnt = edges
+        .join(labs.select(col("n").as("x"), col("lab")), "x")
+        .groupBy(col("y"), col("lab")).agg(count(lit(1)).as("c"))
+      val mx = cnt.groupBy(col("y")).agg(max(col("c")).as("mc"))
+      cnt.join(mx, "y").where(col("c") === col("mc"))
+        .groupBy(col("y")).agg(min(col("lab")).as("lab"))
+        .select(col("y").as("n"), col("lab"))
+    }
+    fin.select(col("n").as("entity"), col("lab").as("label"))
+  }
+
+  /** Deterministic random-walk corpus over the co-occurrence graph — the
+    * DeepWalk/node2vec PREPROCESSING step (Perozzi et al. 2014): emit one
+    * length-`steps` walk per entity; downstream embedding training
+    * consumes the walks as sentences. "Random" is a hash: from node `cur`
+    * at step `i`, the walk moves to the neighbor `y` minimizing the
+    * portable 60-bit md5 hash of `walk_id|i|y` — fully deterministic
+    * (reruns and the oracle reproduce the corpus bit-exactly; seeding a
+    * different corpus = salt the walk_id), yet distributed like a uniform
+    * pick over neighbors.
+    *
+    * Shape per step: frontier (one row per walk) ⋈ edges on cur = x →
+    * per-walk min-hash hash-agg → join back + min-y hash-agg (the
+    * two-agg tie-break discipline of [[labelPropagationOnEdges]]; a
+    * 60-bit tie among a node's neighbors is ~impossible but the oracle
+    * must not depend on engine arg-min tie order). Per-step cost is one
+    * pass over the frontier's adjacency — the same envelope as a
+    * PageRank iteration restricted to the frontier; hub-degree fan-out
+    * collapses map-side in the partial min agg.
+    * Output: (walk_id, step, node), steps+1 rows per walk.
+    */
+  def randomWalks(triples: DataFrame, steps: Int = 3): DataFrame =
+    randomWalksOnEdges(pinnedEdges(triples), steps)
+
+  /** [[randomWalks]] over an already-materialized symmetric edge relation. */
+  def randomWalksOnEdges(edges: DataFrame, steps: Int = 3): DataFrame = {
+    def hash60(s: Column): Column =
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    val init = edges.select(col("x")).distinct()
+      .select(col("x").as("walk_id"), col("x").as("cur"))
+    val (rows, _) = (1 to steps).foldLeft(
+      (init.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")),
+        init)) { case ((acc, frontier), i) =>
+      val cand = frontier
+        .join(edges.withColumnRenamed("x", "cur"), "cur")
+        .select(col("walk_id"), col("y"),
+          hash60(concat_ws("|", col("walk_id"), lit(i), col("y"))).as("h"))
+      val mh = cand.groupBy(col("walk_id")).agg(min(col("h")).as("mh"))
+      val next = cand.join(mh, "walk_id").where(col("h") === col("mh"))
+        .groupBy(col("walk_id")).agg(min(col("y")).as("cur"))
+      (acc.union(next.select(col("walk_id"), lit(i.toLong).as("step"),
+        col("cur").as("node"))), next)
+    }
+    rows
   }
 }

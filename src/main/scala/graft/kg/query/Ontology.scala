@@ -1,0 +1,85 @@
+package graft.kg.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ontology-backed inference over the emitted KG (SURVEY.md §2 consumption
+  * side): a deterministic `is_a` taxonomy over the entity vocabulary, its
+  * transitive closure, and RDFS-style triple entailment (`subClassOf` range
+  * inference: `(s, p, o) ∧ o is_a* a ⇒ (s, p, a)`). The taxonomy is
+  * metadata-sized by nature (it describes the entity VOCABULARY, not the
+  * corpus), so the closure is computed in one tiny job and BROADCAST into
+  * the corpus-scale entailment join — the corpus-side triple relation is
+  * scanned exactly once, never shuffled.
+  *
+  * All arithmetic-free string relations: the DuckDB oracles embed the same
+  * taxonomy VALUES verbatim (the [[graft.kg.io.Dictionaries]] /
+  * langProfiles single-source pattern) and state the closure as a recursive
+  * CTE — hash-exact pairing.
+  */
+object Ontology {
+
+  /** The deterministic `is_a` taxonomy over the synthetic KG's entity
+    * vocabulary: leaf entities → category → root, depth 2 everywhere
+    * (skills S000–S029 fan into 6 categories of 5; titles T000–T019 into 5
+    * families of 4; locations LOC00–LOC11 into 3 regions of 4; languages
+    * into one family). A real deployment swaps in its curated taxonomy
+    * through the same (child, parent) shape.
+    */
+  val taxonomy: Seq[(String, String)] =
+    (0 until 30).map(i => (f"S$i%03d", s"SCAT${i / 5}")) ++
+      (0 until 6).map(c => (s"SCAT$c", "Skill")) ++
+      (0 until 20).map(i => (f"T$i%03d", s"TFAM${i / 4}")) ++
+      (0 until 5).map(c => (s"TFAM$c", "Title")) ++
+      (0 until 12).map(i => (f"LOC$i%02d", s"REG${i / 4}")) ++
+      (0 until 3).map(c => (s"REG$c", "Region")) ++
+      (0 until 3).map(i => (f"LANG$i%02d", "Language"))
+
+  def taxonomyDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    taxonomy.toDF("child", "parent")
+  }
+
+  /** Transitive closure of an `(child, parent)` edge relation, `rounds`
+    * statically-unrolled extension joins: `r_{i+1} = r_i ∪ (r_i ⋈ edges)`,
+    * distinct. Linear unroll covers path length ≤ rounds+1 — right for a
+    * taxonomy whose depth is a known schema property (here 2; rounds=2
+    * leaves one verification round of slack: the last round must add
+    * nothing new for the closure to be complete). For unknown-depth graphs
+    * use path DOUBLING (`r ⋈ r`, log₂ rounds) or the convergence-checked
+    * driver loop of [[graft.kg.canon.ConnectedComponents]] — for
+    * metadata-sized ontologies the difference is irrelevant and the linear
+    * unroll keeps the oracle a plain recursive CTE.
+    *
+    * Output: (child, anc), NOT reflexive (a node is not its own ancestor).
+    */
+  def transitiveClosure(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val step = edges.select(col("child").as("anc"), col("parent").as("anc2"))
+    (1 to rounds).foldLeft(edges.select(col("child"), col("parent").as("anc"))) {
+      (r, _) =>
+        r.union(r.join(step, Seq("anc")).select(col("child"), col("anc2").as("anc")))
+          .distinct()
+    }
+  }
+
+  /** RDFS-style entailment: the input triples PLUS, for every triple whose
+    * object has taxonomy ancestors, one triple per ancestor (same subj,
+    * same pred — `requiresSkill S007` entails `requiresSkill SCAT1` and
+    * `requiresSkill Skill`: the query "postings requiring ANY skill of
+    * category 1" becomes a plain equi-lookup on the entailed relation).
+    * Objects outside the taxonomy (workload ranges, companies) pass
+    * through unentailed.
+    *
+    * Shape: closure is metadata-sized → broadcast inner join on obj for
+    * the entailed rows, union with the original scan, one distinct (the
+    * same fused-dedup discipline as R12). ONE pass over the corpus-scale
+    * triple relation.
+    */
+  def entailTriples(triples: DataFrame, closure: DataFrame): DataFrame = {
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+    t.union(
+      t.join(broadcast(closure.select(col("child").as("obj"), col("anc"))), Seq("obj"))
+        .select(col("subj"), col("pred"), col("anc").as("obj")))
+      .distinct()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.kg.train
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KG-embedding training-data generation — the step between the committed
+  * triple store and a TransE/DistMult-style trainer (Bordes et al. 2013):
+  * every positive triple is paired with `k` FILTERED negatives (corrupted
+  * objects that are not themselves true triples — unfiltered negatives
+  * mislabel ~valid facts and measurably hurt embeddings).
+  *
+  * Corruption is deterministic: candidate j for triple (s, p, o) replaces
+  * o with the vocabulary entry at index `hash60(s|o|j) mod |vocab|` — the
+  * same portable md5-60 hash the dedup/sketch family uses, so the DuckDB
+  * oracle regenerates the exact candidate set; "random" distribution
+  * without a random source (reruns, resumes, and the oracle all agree).
+  *
+  * Shape: one corpus-scale pass — per-triple explode of the j range (k
+  * rows per positive, never corpus×vocab), the corruption index computed
+  * row-local, the vocabulary joined by broadcast (object vocabularies are
+  * metadata-sized per predicate; for a 10^9-entity open domain swap the
+  * broadcast for an equi-join on the index against a numbered entity
+  * table), and ONE left-anti equi-join against the true triples of the
+  * same predicate implements the filter. A corrupted candidate equal to
+  * some true (s, p, o') drops out there — including o itself.
+  */
+object EmbeddingData {
+
+  private def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Filtered negative samples for one predicate's triples. `vocab` is the
+    * object vocabulary to corrupt into (size |vocab|, broadcast); emits
+    * (subj, pred, obj, obj_neg, neg_i) with k candidates per positive
+    * minus the filtered ones.
+    */
+  def negativeSamples(triples: DataFrame, pred: String,
+      vocab: Seq[String], k: Int = 2): DataFrame = {
+    val session = triples.sparkSession
+    import session.implicits._
+    val pos = triples.where(col("pred") === pred)
+      .select(col("subj"), col("pred"), col("obj"))
+    val vocabDf = vocab.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vi", "v")
+    val cand = pos
+      .select(col("subj"), col("pred"), col("obj"),
+        expr(s"explode(sequence(0L, ${k - 1}L))").as("neg_i"))
+      .withColumn("vi",
+        pmod(hash60(concat_ws("|", col("subj"), col("obj"), col("neg_i"))),
+          lit(vocab.size.toLong)))
+      .join(broadcast(vocabDf), "vi")
+      .select(col("subj"), col("pred"), col("obj"),
+        col("v").as("obj_neg"), col("neg_i"))
+    // the FILTER: drop candidates that are true triples (s, p, obj_neg) —
+    // one left-anti equi-join against the positives of this predicate
+    cand.join(
+      pos.select(col("subj"), col("obj").as("obj_neg")),
+      Seq("subj", "obj_neg"), "left_anti")
+      // using-columns joins move the join keys to the front — pin the
+      // contract order explicitly
+      .select(col("subj"), col("pred"), col("obj"), col("obj_neg"), col("neg_i"))
+  }
+}

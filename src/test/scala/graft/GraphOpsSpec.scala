@@ -221,4 +221,46 @@ class GraphOpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(t === Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
   }
+
+  test("labelPropagation: bridged triangles keep separate communities (vs CC)") {
+    import spark.implicits._
+    // two triangles {A,B,C} / {X,Y,Z} joined by the single bridge C-X:
+    // CC merges everything; LPA's density signal keeps them apart.
+    // Hand-unrolled 3 deterministic rounds (max count, min-label ties):
+    // r1: A→B B→A C→A X→C Y→X Z→X; r2: A→A B→A C→A X→X Y→C Z→C;
+    // r3: A→A B→A C→A X→C Y→C Z→C.
+    val t = Seq(("D1", "m", "A"), ("D1", "m", "B"), ("D1", "m", "C"),
+      ("D2", "m", "X"), ("D2", "m", "Y"), ("D2", "m", "Z"),
+      ("D3", "m", "C"), ("D3", "m", "X")).toDF("subj", "pred", "obj")
+    val l = GraphOps.labelPropagation(t, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l === Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "X" -> "C", "Y" -> "C", "Z" -> "C"))
+    val cc = GraphOps.components(t).collect()
+      .map(r => r.getString(1)).toSet
+    assert(cc.size === 1, "CC merges across the bridge — the contrast LPA exists for")
+  }
+
+  test("randomWalks: deterministic, edge-valid, one walk per entity") {
+    val w1 = GraphOps.randomWalks(triples, steps = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val w2 = GraphOps.randomWalks(triples, steps = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(w1.toSet === w2.toSet, "hash-argmin walks must reproduce bit-exactly")
+    // 4 entities × (steps+1) positions, step 0 = the seed itself
+    assert(w1.length === 4 * 4)
+    assert(w1.filter(_._2 == 0L).map(x => (x._1, x._3)).toSet ===
+      Set(("A", "A"), ("B", "B"), ("C", "C"), ("D", "D")))
+    // every consecutive hop is a real edge
+    val edges = GraphOps.coocEdges(triples).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val byWalk = w1.groupBy(_._1).values
+    byWalk.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, a), (_, _, b)) =>
+          assert(edges.contains((a, b)), s"walk hop $a -> $b is not an edge")
+        case _ =>
+      }
+    }
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.kg.query.Ontology
+import graft.kg.train.EmbeddingData
+
+/** Hand-computed coverage for the ontology inference (transitive closure +
+  * RDFS-style entailment) and the KG-embedding negative sampler — their
+  * sf0.01 DuckDB oracles are the end-to-end gate; these pin semantics on
+  * tiny fixtures.
+  */
+class OntologySpec extends SparkTestBase {
+
+  test("transitiveClosure: depth-3 chain closes fully at rounds=2") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("child", "parent")
+    val r = Ontology.transitiveClosure(edges, rounds = 2).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r === Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+  }
+
+  test("transitiveClosure of the shipped taxonomy: leaf -> category -> root") {
+    val r = Ontology.transitiveClosure(Ontology.taxonomyDf(spark)).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r.contains(("S007", "SCAT1")))
+    assert(r.contains(("S007", "Skill")))
+    assert(r.contains(("LOC05", "REG1")))
+    assert(r.contains(("LOC05", "Region")))
+    // depth-2 taxonomy: every leaf has exactly its category and the root
+    assert(r.count(_._1 == "S007") === 2)
+  }
+
+  test("entailTriples: ancestors added per object, non-taxonomy objects pass") {
+    import spark.implicits._
+    val t = Seq(("1", "requiresSkill", "S007"), ("1", "hasWorkload", "80-100"))
+      .toDF("subj", "pred", "obj")
+    val closure = Ontology.transitiveClosure(Ontology.taxonomyDf(spark))
+    val r = EmbeddingFixtures.rows(Ontology.entailTriples(t, closure))
+    assert(r === Set(
+      ("1", "requiresSkill", "S007"), ("1", "requiresSkill", "SCAT1"),
+      ("1", "requiresSkill", "Skill"), ("1", "hasWorkload", "80-100")))
+  }
+
+  test("negativeSamples: k per positive minus filtered, never a true triple") {
+    import spark.implicits._
+    val t = Seq(("1", "p", "A"), ("1", "p", "B"), ("2", "p", "A"))
+      .toDF("subj", "pred", "obj")
+    val vocab = Seq("A", "B", "C")
+    val neg = EmbeddingData.negativeSamples(t, "p", vocab, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // determinism
+    val neg2 = EmbeddingData.negativeSamples(t, "p", vocab, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(neg.toSet === neg2.toSet)
+    // the FILTER: no emitted negative is a true (subj, obj) pair
+    val truePairs = Set(("1", "A"), ("1", "B"), ("2", "A"))
+    neg.foreach { case (s, _, _, on, _) =>
+      assert(!truePairs.contains((s, on)), s"unfiltered negative ($s, $on)")
+    }
+    // subject 1 has only C as a legal negative; subject 2 has B and C —
+    // every emitted row is one of those
+    assert(neg.filter(_._1 == "1").forall(_._4 == "C"))
+    assert(neg.filter(_._1 == "2").forall(r => r._4 == "B" || r._4 == "C"))
+    // candidates are k per positive BEFORE filtering; after filtering,
+    // counts are bounded by k and neg_i values stay within [0, k)
+    assert(neg.forall(r => r._5 >= 0L && r._5 < 4L))
+    val perPositive = neg.groupBy(r => (r._1, r._3)).view.mapValues(_.length)
+    assert(perPositive.values.forall(_ <= 4))
+  }
+}
+
+private object EmbeddingFixtures {
+  def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+}
