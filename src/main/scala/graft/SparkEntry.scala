@@ -313,6 +313,22 @@ object SparkEntry {
       graft.kg.graph.GraphOps.randomWalks(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
+    // -- word2vec trainer input: skip-gram pair counts over the walk corpus
+    "kg_walk_pairs" -> ((s, dir) =>
+      graft.kg.train.EmbeddingData.skipGramPairs(
+        graft.kg.graph.GraphOps.randomWalks(Pipeline.allTriples(
+          SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+          .select(col("subj"), col("pred"), col("obj"))))),
+    // -- feature-store export: one wide row per subject off the committed
+    // store (single hash-agg of conditional aggregates, no per-column join)
+    "kg_property_table" -> ((s, dir) => {
+      import graft.kg.query.TripleStore
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      TripleStore.propertyTable(s.read.parquet(root))
+    }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -919,9 +935,10 @@ object SparkEntry {
 
   /** Deterministic random walks, the SAME 3 statically-unrolled hash-argmin
     * steps as GraphOps.randomWalks (min 60-bit hash per walk → min
-    * neighbor among ties) — bit-exact.
+    * neighbor among ties) — bit-exact. Split as CTE chain + final select so
+    * [[walkPairsOracle]] reuses the identical walk derivation.
     */
-  private val randomWalksOracle: String = {
+  private val randomWalksCtes: String = {
     def step(prev: String, i: Int) = {
       val h = OpsEntries.duckHash60(s"w.walk_id || '|$i|' || e.y")
       s"""cnd$i AS MATERIALIZED (SELECT w.walk_id, e.y, $h AS h
@@ -936,12 +953,48 @@ object SparkEntry {
        |w0 AS (SELECT x AS walk_id, x AS cur FROM deg),
        |${step("w0", 1)},
        |${step("w1", 2)},
-       |${step("w2", 3)}
-       |SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
-       |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
-       |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM w2
-       |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM w3""".stripMargin
+       |${step("w2", 3)},
+       |walks AS (
+       |  SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+       |  UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
+       |  UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM w2
+       |  UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM w3
+       |)""".stripMargin
   }
+
+  private val randomWalksOracle: String =
+    s"""$randomWalksCtes
+       |SELECT walk_id, step, node FROM walks""".stripMargin
+
+  /** Skip-gram pair counts over the identical walk derivation: one
+    * self-join on walk_id within ±2 positions + count — bit-exact vs
+    * EmbeddingData.skipGramPairs(GraphOps.randomWalks(...)).
+    */
+  private val walkPairsOracle: String =
+    s"""$randomWalksCtes
+       |SELECT a.node AS center, b.node AS context,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       |WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Property-table pivot stated with FILTERed aggregates over the same
+    * closed-form triples (string_agg ORDER BY = the engine's sorted
+    * array_join; '' for absent multi-valued predicates on both sides) —
+    * also re-proves the committed store round-trip it reads.
+    */
+  private val propertyTableOracle: String =
+    s"""WITH triples AS ($allTriplesOracle)
+       |SELECT subj,
+       |  min(obj) FILTER (WHERE pred = 'hasTitle') AS title,
+       |  min(obj) FILTER (WHERE pred = 'postedBy') AS company,
+       |  min(obj) FILTER (WHERE pred = 'locatedIn') AS location,
+       |  min(obj) FILTER (WHERE pred = 'hasWorkload') AS workload,
+       |  COALESCE(string_agg(obj, ',' ORDER BY obj)
+       |    FILTER (WHERE pred = 'requiresLanguage'), '') AS languages,
+       |  COALESCE(string_agg(obj, ',' ORDER BY obj)
+       |    FILTER (WHERE pred = 'requiresSkill'), '') AS skills
+       |FROM triples GROUP BY subj""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1028,6 +1081,8 @@ object SparkEntry {
     "kg_entity_lpa" -> entityLpaOracle,
     "kg_negative_samples" -> negativeSamplesOracle,
     "kg_random_walks" -> randomWalksOracle,
+    "kg_walk_pairs" -> walkPairsOracle,
+    "kg_property_table" -> propertyTableOracle,
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

@@ -243,4 +243,32 @@ object TripleStore {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(cached))) cached
     else { val fresh = build(); materializedTbl.put(tag, fresh); fresh }
   }
+
+  /** PROPERTY-TABLE export: pivot the tall (subj, pred, obj) relation into
+    * one wide row per subject — the feature-store / ML-export shape
+    * downstream trainers and dashboards consume (and the classic RDF
+    * "property table" physical design). Single-valued predicates land as
+    * plain columns (min is exact when the KG is functional — and the
+    * deterministic pick if a malformed source ever double-asserts);
+    * multi-valued ones as SORTED comma-joined strings (deterministic,
+    * and oracle-comparable without array-type friction). Absent
+    * single-valued predicates stay NULL; absent multi-valued ones are ''.
+    *
+    * Shape: ONE hash-agg over one pass of the triple relation — every
+    * per-predicate column is a conditional aggregate, so there is no
+    * per-predicate scan or self-join (the naive BGP formulation would
+    * join the store once per column).
+    */
+  def propertyTable(triples: DataFrame): DataFrame = {
+    def single(p: String) = min(when(col("pred") === p, col("obj")))
+    def multi(p: String) = array_join(
+      array_sort(collect_list(when(col("pred") === p, col("obj")))), ",")
+    triples.groupBy(col("subj")).agg(
+      single("hasTitle").as("title"),
+      single("postedBy").as("company"),
+      single("locatedIn").as("location"),
+      single("hasWorkload").as("workload"),
+      multi("requiresLanguage").as("languages"),
+      multi("requiresSkill").as("skills"))
+  }
 }

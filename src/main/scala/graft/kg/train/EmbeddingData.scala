@@ -60,4 +60,26 @@ object EmbeddingData {
       // contract order explicitly
       .select(col("subj"), col("pred"), col("obj"), col("obj_neg"), col("neg_i"))
   }
+
+  /** Skip-gram pair counts from a walk corpus — the step between
+    * [[graft.kg.graph.GraphOps.randomWalks]] and a word2vec-style entity
+    * embedding trainer (Mikolov et al. 2013): every ordered (center,
+    * context) co-occurrence within ±`window` walk positions, counted over
+    * the whole corpus. The counted table IS the trainer input (and is
+    * vocabulary²-BOUNDED regardless of corpus size — same envelope as
+    * [[graft.ops.TextOps.bpePairs]]).
+    *
+    * Shape: ONE self-equi-join on walk_id (per-walk fan-out bounded by
+    * (steps+1)·2·window, never corpus-quadratic) → count hash-agg
+    * (partial-aggregatable map-side: hot pairs collapse before the
+    * shuffle).
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame =
+    walks.select(col("walk_id"), col("step").as("i"), col("node").as("center"))
+      .join(walks.select(col("walk_id"), col("step").as("j"),
+        col("node").as("context")), "walk_id")
+      .where(col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -69,6 +69,28 @@ class OntologySpec extends SparkTestBase {
     val perPositive = neg.groupBy(r => (r._1, r._3)).view.mapValues(_.length)
     assert(perPositive.values.forall(_ <= 4))
   }
+
+  test("skipGramPairs: hand-computed window-2 counts over a fixed walk") {
+    import spark.implicits._
+    // one walk A B C D: window 2 pairs (ordered) — (A,B),(A,C),(B,A),(B,C),
+    // (B,D),(C,A),(C,B),(C,D),(D,B),(D,C); a second walk X Y adds
+    // (X,Y),(Y,X); counts all 1
+    val walks = Seq(
+      ("w1", 0L, "A"), ("w1", 1L, "B"), ("w1", 2L, "C"), ("w1", 3L, "D"),
+      ("w2", 0L, "X"), ("w2", 1L, "Y")).toDF("walk_id", "step", "node")
+    val p = EmbeddingData.skipGramPairs(walks, window = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = Seq("A" -> "B", "A" -> "C", "B" -> "A", "B" -> "C",
+      "B" -> "D", "C" -> "A", "C" -> "B", "C" -> "D", "D" -> "B", "D" -> "C",
+      "X" -> "Y", "Y" -> "X").map { case (a, b) => ((a, b), 1L) }.toMap
+    assert(p === expected)
+    // repeated co-occurrence ACCUMULATES: a third walk re-visiting A B
+    val walks2 = walks.union(Seq(("w3", 0L, "A"), ("w3", 1L, "B"))
+      .toDF("walk_id", "step", "node"))
+    val p2 = EmbeddingData.skipGramPairs(walks2, window = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(p2(("A", "B")) === 2L && p2(("B", "A")) === 2L)
+  }
 }
 
 private object EmbeddingFixtures {

@@ -116,4 +116,22 @@ class TripleStoreSpec extends SparkTestBase {
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(obj,Java\\)".r
       .findFirstIn(plan).isDefined, s"obj not pushed in:\n${plan.take(3000)}")
   }
+
+  test("propertyTable: wide row per subject, sorted multi-values, NULL/'' absences") {
+    import spark.implicits._
+    val t = Seq(
+      ("D1", "hasTitle", "T1"), ("D1", "requiresSkill", "Scala"),
+      ("D1", "requiresSkill", "Java"), ("D1", "requiresLanguage", "de"),
+      ("D2", "hasTitle", "T2"), ("D2", "locatedIn", "L1"))
+      .toDF("subj", "pred", "obj")
+    // columns: subj, title, company, location, workload, languages, skills
+    val r = TripleStore.propertyTable(t).collect()
+      .map(x => x.getString(0) -> ((Option(x.getString(1)), Option(x.getString(3)),
+        x.getString(5), x.getString(6)))).toMap
+    assert(r("D1") === ((Some("T1"), None, "de", "Java,Scala")))
+    assert(r("D2") === ((Some("T2"), Some("L1"), "", "")))
+    // ONE aggregate, no per-column self-join of the store
+    val plan = TripleStore.propertyTable(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n${plan.take(2000)}")
+  }
 }
