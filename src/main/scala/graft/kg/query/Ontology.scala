@@ -70,16 +70,23 @@ object Ontology {
     * Objects outside the taxonomy (workload ranges, companies) pass
     * through unentailed.
     *
-    * Shape: closure is metadata-sized → broadcast inner join on obj for
-    * the entailed rows, union with the original scan, one distinct (the
-    * same fused-dedup discipline as R12). ONE pass over the corpus-scale
-    * triple relation.
+    * Shape: ONE pass over the corpus-scale triple relation — the closure
+    * is pre-grouped into a per-child ancestor ARRAY (metadata-sized,
+    * broadcast), each triple left-joins it and explodes [obj] ∪ ancestors,
+    * then one distinct (the R12 fused-dedup discipline). The naive
+    * `t.union(t ⋈ closure)` formulation re-executes the whole upstream
+    * triple derivation once per union branch (caught by PlanAudit: two
+    * full extraction subtrees in the union) — the join+explode keeps a
+    * single derivation without requiring the caller to checkpoint.
     */
   def entailTriples(triples: DataFrame, closure: DataFrame): DataFrame = {
-    val t = triples.select(col("subj"), col("pred"), col("obj"))
-    t.union(
-      t.join(broadcast(closure.select(col("child").as("obj"), col("anc"))), Seq("obj"))
-        .select(col("subj"), col("pred"), col("anc").as("obj")))
+    val ancs = closure.groupBy(col("child"))
+      .agg(collect_list(col("anc")).as("ancs"))
+      .withColumnRenamed("child", "obj")
+    triples.select(col("subj"), col("pred"), col("obj"))
+      .join(broadcast(ancs), Seq("obj"), "left")
+      .select(col("subj"), col("pred"), explode(concat(array(col("obj")),
+        expr("coalesce(ancs, cast(array() as array<string>))"))).as("obj"))
       .distinct()
   }
 }
