@@ -72,14 +72,21 @@ object EmbeddingData {
     * Shape: ONE self-equi-join on walk_id (per-walk fan-out bounded by
     * (steps+1)·2·window, never corpus-quadratic) → count hash-agg
     * (partial-aggregatable map-side: hot pairs collapse before the
-    * shuffle).
+    * shuffle). The walks input is eagerly checkpointed first (the
+    * pinnedEdges discipline) — load-bearing, not hygiene: walks are an
+    * ITERATIVE derivation and the self-join references them twice, so an
+    * un-materialized input would execute the whole walk computation once
+    * per side.
     */
-  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame =
-    walks.select(col("walk_id"), col("step").as("i"), col("node").as("center"))
-      .join(walks.select(col("walk_id"), col("step").as("j"),
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    val w = walks.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    w.select(col("walk_id"), col("step").as("i"), col("node").as("center"))
+      .join(w.select(col("walk_id"), col("step").as("j"),
         col("node").as("context")), "walk_id")
       .where(col("i") =!= col("j") &&
         abs(col("i") - col("j")) <= window)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n"))
+  }
 }
