@@ -329,6 +329,22 @@ object SparkEntry {
           Pipeline.defaultGazetteers(s)), tag = dir)
       TripleStore.propertyTable(s.read.parquet(root))
     }),
+    // incremental maintenance of the same view: base = docs with id%5 != 4
+    // plays the committed state (wide table + store); the id%5 == 4 shard
+    // folds in via touched-subject re-agg + anti-join pass-through.
+    // Shares kg_property_table's from-scratch oracle — the merge identity.
+    "kg_property_increment" -> ((s, dir) => {
+      import graft.kg.query.TripleStore
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      val t = s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
+      val isShard = pmod(col("subj").cast("long"), lit(5)) === 4
+      val base = t.where(!isShard)
+      TripleStore.propertyTableIncrement(
+        TripleStore.propertyTable(base), base, t.where(isShard))
+    }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -1083,6 +1099,9 @@ object SparkEntry {
     "kg_random_walks" -> randomWalksOracle,
     "kg_walk_pairs" -> walkPairsOracle,
     "kg_property_table" -> propertyTableOracle,
+    // merge-identity pairing: the incrementally-maintained view must equal
+    // the from-scratch pivot over base ∪ shard — the oracle IS from-scratch
+    "kg_property_increment" -> propertyTableOracle,
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

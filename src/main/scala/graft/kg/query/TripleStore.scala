@@ -271,4 +271,30 @@ object TripleStore {
       multi("requiresLanguage").as("languages"),
       multi("requiresSkill").as("skills"))
   }
+
+  /** INCREMENTAL maintenance of the [[propertyTable]] materialized view —
+    * the daily-shard path ([[graft.ops.IncrementalDedup]] discipline
+    * applied to a wide aggregate): given the committed wide table, the
+    * committed triple store, and a new triple shard, only the shard's
+    * TOUCHED subjects are re-aggregated (their full triple set = one
+    * left-semi probe of the store by the shard's subject list + the shard
+    * itself); every untouched row passes through from the committed wide
+    * table via one anti-join, never re-derived (the spec proves it by
+    * corrupting an untouched stored row and watching the corruption
+    * survive). `result ≡ propertyTable(base ∪ shard)` exactly — the
+    * kg_cooc_increment / kg_card_sketch_increment merge-identity pairing.
+    *
+    * At production scale bucket the store AND the wide table by subj
+    * (TableIO bucketing) so both the semi probe and the anti-join
+    * co-locate without an exchange; the re-agg side is shard-sized.
+    */
+  def propertyTableIncrement(storedWide: DataFrame, baseTriples: DataFrame,
+      shardTriples: DataFrame): DataFrame = {
+    val touched = shardTriples.select(col("subj")).distinct()
+    val rebuilt = propertyTable(
+      baseTriples.join(touched, Seq("subj"), "left_semi")
+        .select(col("subj"), col("pred"), col("obj"))
+        .union(shardTriples.select(col("subj"), col("pred"), col("obj"))))
+    storedWide.join(touched, Seq("subj"), "left_anti").union(rebuilt)
+  }
 }

@@ -134,4 +134,32 @@ class TripleStoreSpec extends SparkTestBase {
     val plan = TripleStore.propertyTable(t).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"unexpected join in:\n${plan.take(2000)}")
   }
+
+  test("propertyTableIncrement: merge identity + untouched rows never re-derived") {
+    import spark.implicits._
+    val base = Seq(
+      ("D1", "hasTitle", "T1"), ("D1", "requiresSkill", "Scala"),
+      ("D2", "hasTitle", "T2"), ("D2", "requiresSkill", "Java"))
+      .toDF("subj", "pred", "obj")
+    val shard = Seq(
+      ("D2", "requiresSkill", "Spark"), // touches an existing subject
+      ("D3", "hasTitle", "T3")) // and adds a new one
+      .toDF("subj", "pred", "obj")
+    val stored = TripleStore.propertyTable(base)
+    val inc = TripleStore.propertyTableIncrement(stored, base, shard)
+    val scratch = TripleStore.propertyTable(base.union(shard))
+    assert(inc.collect().toSet === scratch.collect().toSet,
+      "incremental view must equal the from-scratch pivot over base ∪ shard")
+    // pass-through proof: corrupt the COMMITTED wide row of the untouched
+    // subject D1 — the corruption must survive (D1 is never re-aggregated),
+    // while touched D2 and new D3 are rebuilt correctly
+    val corrupted = stored.withColumn("title",
+      org.apache.spark.sql.functions.when($"subj" === "D1",
+        org.apache.spark.sql.functions.lit("CORRUPT")).otherwise($"title"))
+    val inc2 = TripleStore.propertyTableIncrement(corrupted, base, shard)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc2("D1") === "CORRUPT",
+      "untouched subject was re-derived — the incremental contract is broken")
+    assert(inc2("D2") === "T2" && inc2("D3") === "T3")
+  }
 }
