@@ -345,6 +345,17 @@ object SparkEntry {
       TripleStore.propertyTableIncrement(
         TripleStore.propertyTable(base), base, t.where(isShard))
     }),
+    // -- chain BGP through the ontology: each posting's skills WITH their
+    // direct categories (?s requiresSkill ?o1 . ?o1 is_a ?o2)
+    "kg_chain_query" -> ((s, dir) => {
+      import graft.kg.query.{Ontology, TripleStore}
+      val t = Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj"))
+      val ont = Ontology.taxonomyDf(s).select(col("child").as("subj"),
+        lit("is_a").as("pred"), col("parent").as("obj"))
+      TripleStore.chainQuery(t.union(ont), "requiresSkill", "is_a")
+    }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -1102,6 +1113,12 @@ object SparkEntry {
     // merge-identity pairing: the incrementally-maintained view must equal
     // the from-scratch pivot over base ∪ shard — the oracle IS from-scratch
     "kg_property_increment" -> propertyTableOracle,
+    "kg_chain_query" ->
+      s"""WITH triples AS ($allTriplesOracle),
+         |tax(child, parent) AS (SELECT * FROM (VALUES $taxonomyValues) v(child, parent))
+         |SELECT t.subj, t.obj AS o1, x.parent AS o2
+         |FROM triples t JOIN tax x ON t.obj = x.child
+         |WHERE t.pred = 'requiresSkill'""".stripMargin,
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

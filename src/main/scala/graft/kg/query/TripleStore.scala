@@ -244,6 +244,32 @@ object TripleStore {
     else { val fresh = build(); materializedTbl.put(tag, fresh); fresh }
   }
 
+  /** CHAIN BGP — `?s p1 ?o1 . ?o1 p2 ?o2`: the object→SUBJECT join a star
+    * or sibling query can't express (the path shape SPARQL planners order
+    * joins for). On the emitted KG the chain becomes meaningful through
+    * the ontology: with [[graft.kg.query.Ontology.taxonomy]] loaded as
+    * `is_a` triples, `requiresSkill/is_a` returns each posting's skills
+    * WITH their direct categories — the input to per-category rollups
+    * without a second extraction.
+    *
+    * Join plan: each hop is a single-predicate selection (partition-pruned
+    * scan on the committed store; filter-pushed union branches on an
+    * in-memory relation), joined obj₁ = subj₂. `broadcastHop = true`
+    * (default) broadcasts hop 2 — right whenever p2 is ontology-sized
+    * (taxonomy edges, catalog metadata); set false for a corpus-scale p2
+    * and the join shuffles both sides on the chain variable.
+    * Output: (subj, o1, o2), SPARQL combination semantics.
+    */
+  def chainQuery(triples: DataFrame, p1: String, p2: String,
+      broadcastHop: Boolean = true): DataFrame = {
+    val hop1 = triples.where(col("pred") === p1)
+      .select(col("subj"), col("obj").as("o1"))
+    val hop2 = triples.where(col("pred") === p2)
+      .select(col("subj").as("o1"), col("obj").as("o2"))
+    hop1.join(if (broadcastHop) broadcast(hop2) else hop2, Seq("o1"))
+      .select(col("subj"), col("o1"), col("o2"))
+  }
+
   /** PROPERTY-TABLE export: pivot the tall (subj, pred, obj) relation into
     * one wide row per subject — the feature-store / ML-export shape
     * downstream trainers and dashboards consume (and the classic RDF

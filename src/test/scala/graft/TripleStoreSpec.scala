@@ -135,6 +135,21 @@ class TripleStoreSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"unexpected join in:\n${plan.take(2000)}")
   }
 
+  test("chainQuery: object→subject join, combination semantics") {
+    import spark.implicits._
+    val t = Seq(
+      ("D1", "requiresSkill", "Scala"), ("D1", "requiresSkill", "Cobol"),
+      ("D2", "requiresSkill", "Scala"),
+      ("Scala", "is_a", "JVM"), ("Scala", "is_a", "FP")) // Cobol: no parent
+      .toDF("subj", "pred", "obj")
+    val r = TripleStore.chainQuery(t, "requiresSkill", "is_a").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    // multi-parent objects multiply rows (SPARQL combinations); objects
+    // with no hop-2 triple drop (inner semantics)
+    assert(r === Set(("D1", "Scala", "JVM"), ("D1", "Scala", "FP"),
+      ("D2", "Scala", "JVM"), ("D2", "Scala", "FP")))
+  }
+
   test("propertyTableIncrement: merge identity + untouched rows never re-derived") {
     import spark.implicits._
     val base = Seq(
