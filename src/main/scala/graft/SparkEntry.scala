@@ -308,17 +308,17 @@ object SparkEntry {
           .select(col("subj"), col("pred"), col("obj")),
         pred = "requiresSkill",
         vocab = (0 until 30).map(i => f"S$i%03d"))),
-    // -- DeepWalk-style corpus: one deterministic hash-argmin walk per entity
+    // -- DeepWalk-style corpus: 2 deterministic hash-argmin walks per entity
     "kg_random_walks" -> ((s, dir) =>
       graft.kg.graph.GraphOps.randomWalks(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
-        .select(col("subj"), col("pred"), col("obj")))),
+        .select(col("subj"), col("pred"), col("obj")), walksPerNode = 2)),
     // -- word2vec trainer input: skip-gram pair counts over the walk corpus
     "kg_walk_pairs" -> ((s, dir) =>
       graft.kg.train.EmbeddingData.skipGramPairs(
         graft.kg.graph.GraphOps.randomWalks(Pipeline.allTriples(
           SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
-          .select(col("subj"), col("pred"), col("obj"))))),
+          .select(col("subj"), col("pred"), col("obj")), walksPerNode = 2))),
     // -- feature-store export: one wide row per subject off the committed
     // store (single hash-agg of conditional aggregates, no per-column join)
     "kg_property_table" -> ((s, dir) => {
@@ -977,7 +977,9 @@ object SparkEntry {
          |         GROUP BY 1)""".stripMargin
     }
     s"""$coocCtes,
-       |w0 AS (SELECT x AS walk_id, x AS cur FROM deg),
+       |w0 AS (SELECT d.x || '#' || CAST(r.r AS VARCHAR) AS walk_id, d.x AS cur
+       |       FROM deg d CROSS JOIN
+       |         (SELECT unnest(generate_series(0, 1)) AS r) r),
        |${step("w0", 1)},
        |${step("w1", 2)},
        |${step("w2", 3)},

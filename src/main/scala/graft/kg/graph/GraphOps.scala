@@ -614,14 +614,18 @@ object GraphOps {
   }
 
   /** Deterministic random-walk corpus over the co-occurrence graph — the
-    * DeepWalk/node2vec PREPROCESSING step (Perozzi et al. 2014): emit one
-    * length-`steps` walk per entity; downstream embedding training
-    * consumes the walks as sentences. "Random" is a hash: from node `cur`
-    * at step `i`, the walk moves to the neighbor `y` minimizing the
-    * portable 60-bit md5 hash of `walk_id|i|y` — fully deterministic
-    * (reruns and the oracle reproduce the corpus bit-exactly; seeding a
-    * different corpus = salt the walk_id), yet distributed like a uniform
-    * pick over neighbors.
+    * DeepWalk/node2vec PREPROCESSING step (Perozzi et al. 2014): emit
+    * `walksPerNode` length-`steps` walks per entity (DeepWalk's γ
+    * parameter — one walk per node under-samples every neighborhood;
+    * walk r of node n has walk_id `n#r`, and since the next-hop hash is
+    * keyed on walk_id, the r walks of one node genuinely diverge);
+    * downstream embedding training consumes the walks as sentences.
+    * "Random" is a hash: from node `cur` at step `i`, the walk moves to
+    * the neighbor `y` minimizing the portable 60-bit md5 hash of
+    * `walk_id|i|y` — fully deterministic (reruns and the oracle reproduce
+    * the corpus bit-exactly; a different corpus = different walksPerNode
+    * or a walk_id salt), yet distributed like a uniform pick over
+    * neighbors.
     *
     * Shape per step: frontier (one row per walk) ⋈ edges on cur = x →
     * per-walk min-hash hash-agg → join back + min-y hash-agg (the
@@ -633,15 +637,18 @@ object GraphOps {
     * collapses map-side in the partial min agg.
     * Output: (walk_id, step, node), steps+1 rows per walk.
     */
-  def randomWalks(triples: DataFrame, steps: Int = 3): DataFrame =
-    randomWalksOnEdges(pinnedEdges(triples), steps)
+  def randomWalks(triples: DataFrame, steps: Int = 3,
+      walksPerNode: Int = 1): DataFrame =
+    randomWalksOnEdges(pinnedEdges(triples), steps, walksPerNode)
 
   /** [[randomWalks]] over an already-materialized symmetric edge relation. */
-  def randomWalksOnEdges(edges: DataFrame, steps: Int = 3): DataFrame = {
+  def randomWalksOnEdges(edges: DataFrame, steps: Int = 3,
+      walksPerNode: Int = 1): DataFrame = {
     def hash60(s: Column): Column =
       conv(substring(md5(s), 1, 15), 16, 10).cast("long")
     val init = edges.select(col("x")).distinct()
-      .select(col("x").as("walk_id"), col("x").as("cur"))
+      .select(col("x"), explode(expr(s"sequence(0, ${walksPerNode - 1})")).as("r"))
+      .select(concat_ws("#", col("x"), col("r")).as("walk_id"), col("x").as("cur"))
     val (rows, _) = (1 to steps).foldLeft(
       (init.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")),
         init)) { case ((acc, frontier), i) =>

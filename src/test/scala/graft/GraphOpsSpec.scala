@@ -241,16 +241,16 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc.size === 1, "CC merges across the bridge — the contrast LPA exists for")
   }
 
-  test("randomWalks: deterministic, edge-valid, one walk per entity") {
-    val w1 = GraphOps.randomWalks(triples, steps = 3).collect()
+  test("randomWalks: deterministic, edge-valid, walksPerNode walks per entity") {
+    val w1 = GraphOps.randomWalks(triples, steps = 3, walksPerNode = 2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-    val w2 = GraphOps.randomWalks(triples, steps = 3).collect()
+    val w2 = GraphOps.randomWalks(triples, steps = 3, walksPerNode = 2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(w1.toSet === w2.toSet, "hash-argmin walks must reproduce bit-exactly")
-    // 4 entities × (steps+1) positions, step 0 = the seed itself
-    assert(w1.length === 4 * 4)
+    // 4 entities × 2 walks × (steps+1) positions; step 0 = the seed itself
+    assert(w1.length === 4 * 2 * 4)
     assert(w1.filter(_._2 == 0L).map(x => (x._1, x._3)).toSet ===
-      Set(("A", "A"), ("B", "B"), ("C", "C"), ("D", "D")))
+      Set("A", "B", "C", "D").flatMap(n => Set((s"$n#0", n), (s"$n#1", n))))
     // every consecutive hop is a real edge
     val edges = GraphOps.coocEdges(triples).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
