@@ -160,6 +160,19 @@ object SparkEntry {
         TriplePattern("hasTitle", bind = Some("title")),
         TriplePattern("locatedIn", bind = Some("loc"))))
     }),
+    // -- SPARQL OPTIONAL: title required, location OPTIONAL (odd doc_ids
+    // have no locatedIn triple — their rows keep a NULL loc)
+    "kg_star_optional" -> ((s, dir) => {
+      import graft.kg.query.TripleStore, TripleStore.TriplePattern
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      TripleStore.starQuery(s.read.parquet(root), Seq(
+        TriplePattern("requiresSkill", obj = Some("S001")),
+        TriplePattern("hasTitle", bind = Some("title")),
+        TriplePattern("locatedIn", bind = Some("loc"), optional = true)))
+    }),
     // -- catalog stats: the selectivity numbers the BGP planner orders by
     "kg_predicate_stats" -> ((s, dir) => {
       import graft.kg.query.TripleStore
@@ -1087,6 +1100,16 @@ object SparkEntry {
     "kg_entity_components" -> entityComponentsOracle,
     "kg_entity_pagerank_bucketed" -> entityPagerankOracle,
     "kg_star_query" -> starQueryOracle,
+    // OPTIONAL = declarative LEFT JOIN over the same closed-form triples
+    "kg_star_optional" ->
+      s"""WITH triples AS ($allTriplesOracle)
+         |SELECT t.subj, t.obj AS title, l.obj AS loc
+         |FROM triples t
+         |LEFT JOIN (SELECT subj, obj FROM triples WHERE pred = 'locatedIn') l
+         |  ON l.subj = t.subj
+         |WHERE t.pred = 'hasTitle'
+         |  AND EXISTS (SELECT 1 FROM triples s WHERE s.subj = t.subj
+         |              AND s.pred = 'requiresSkill' AND s.obj = 'S001')""".stripMargin,
     "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
     "kg_entity_kcore" -> entityKcoreOracle,
     "kg_entity_bfs" -> entityBfsOracle,

@@ -30,16 +30,23 @@ object TripleStore {
     * rejected to keep call sites explicit (use a bind you ignore).
     */
   final case class TriplePattern(pred: String, obj: Option[String] = None,
-      bind: Option[String] = None) {
+      bind: Option[String] = None, optional: Boolean = false) {
     require(obj.isDefined || bind.isDefined,
       s"pattern on '$pred' neither constrains nor binds")
+    require(!optional || bind.isDefined,
+      s"OPTIONAL pattern on '$pred' must bind (an optional constraint is a no-op)")
   }
 
   /** Subject-star BGP over a triple relation (columns subj, pred, obj —
     * extra columns are pruned). Result: one row per BINDING COMBINATION
     * (SPARQL semantics — multi-valued bound predicates multiply rows),
     * columns `subj` + one per bind name, inner semantics (a subject
-    * missing any pattern's predicate is dropped).
+    * missing any pattern's predicate is dropped) — EXCEPT `optional`
+    * patterns (SPARQL OPTIONAL): their bind column is NULL where the
+    * subject has no such triple, and the row is kept. Optional binds
+    * join LAST (SPARQL's left-associative OPTIONAL over the required
+    * group) as left outer equi-joins on the same subj key — the chain
+    * stays one co-partitioned lineage, no extra exchange genre.
     *
     * Join plan, chosen for the 10^12-triple table:
     * - constraint-only patterns become LEFT SEMI joins on subj — a
@@ -64,14 +71,17 @@ object TripleStore {
       val perPred = triples.where(col("pred") === p.pred)
       p.obj.fold(perPred)(o => perPred.where(col("obj") === o))
     }
-    val (binds, constraints) = patterns.partition(_.bind.isDefined)
+    val (allBinds, constraints) = patterns.partition(_.bind.isDefined)
+    val (optionals, binds) = allBinds.partition(_.optional)
+    require(binds.nonEmpty || constraints.nonEmpty,
+      "starQuery needs at least one required pattern to anchor OPTIONALs")
     def constrain(df: DataFrame): DataFrame =
       constraints.foldLeft(df) { (acc, c) =>
         val subjects = scan(c).select(col("subj"))
         acc.join(if (broadcastConstraints) broadcast(subjects) else subjects,
           Seq("subj"), "left_semi")
       }
-    binds match {
+    val required = binds match {
       case Seq() =>
         // pure-existence query: the matching subjects themselves. distinct
         // AFTER the semi chain — each semi input is already per-(subj,
@@ -85,6 +95,10 @@ object TripleStore {
           acc.join(scan(b).select(col("subj"), col("obj").as(b.bind.get)),
             Seq("subj"))
         }
+    }
+    optionals.foldLeft(required) { (acc, b) =>
+      acc.join(scan(b).select(col("subj"), col("obj").as(b.bind.get)),
+        Seq("subj"), "left")
     }
   }
 

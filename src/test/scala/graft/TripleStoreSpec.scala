@@ -135,6 +135,29 @@ class TripleStoreSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"unexpected join in:\n${plan.take(2000)}")
   }
 
+  test("starQuery OPTIONAL: missing optional bind keeps the row with NULL") {
+    import spark.implicits._
+    val t = Seq(
+      ("D1", "hasTitle", "T1"), ("D1", "locatedIn", "L1"),
+      ("D2", "hasTitle", "T2")) // D2 has no location
+      .toDF("subj", "pred", "obj")
+    val r = TripleStore.starQuery(t, Seq(
+      TriplePattern("hasTitle", bind = Some("title")),
+      TriplePattern("locatedIn", bind = Some("loc"), optional = true)))
+      .collect().map(x => (x.getString(0), x.getString(1),
+        Option(x.getString(2)))).toSet
+    assert(r === Set(("D1", "T1", Some("L1")), ("D2", "T2", None)))
+    // an optional CONSTRAINT is rejected (it would be a no-op)
+    intercept[IllegalArgumentException] {
+      TriplePattern("locatedIn", obj = Some("L1"), optional = true)
+    }
+    // OPTIONALs need a required anchor
+    intercept[IllegalArgumentException] {
+      TripleStore.starQuery(t, Seq(
+        TriplePattern("locatedIn", bind = Some("loc"), optional = true)))
+    }
+  }
+
   test("chainQuery: object→subject join, combination semantics") {
     import spark.implicits._
     val t = Seq(
