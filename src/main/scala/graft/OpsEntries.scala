@@ -32,6 +32,10 @@ object OpsEntries {
     "curate_decontaminate" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
     // Gopher-style document gate: per-rule 0/1 flag columns + kept verdict
     "curate_gopher" -> ((s, dir) => TextOps.gopherFilter(docs(s, dir))),
+    // PII scrubbing over the contact-planted corpus: zero-shuffle row-local
+    // redaction + audit counts
+    "curate_redact_pii" -> ((s, dir) =>
+      TextOps.redactPii(TextOps.piiPlantedCorpus(docs(s, dir)))),
     // source-level quality gate: source-cardinality agg + broadcast verdicts
     "curate_source_gate" -> ((s, dir) => TextOps.sourceGate(docs(s, dir))),
     // first BPE merge iteration: corpus-wide adjacent-pair frequency top-k
@@ -683,6 +687,27 @@ object OpsEntries {
         |       THEN floor(10000.0 * coalesce(tb.top_n, 0) / (st.nt - 1))
         |       ELSE 0 END AS BIGINT) AS top_bigram_ratio_e4
         |FROM st LEFT JOIN tb USING (doc_id)""".stripMargin,
+    // identical planting (closed-form in doc_id) + identical regex patterns
+    // (shared Scala constants, Java-regex/RE2-portable by construction);
+    // 'g' flag = Spark's always-global regexp_replace
+    "curate_redact_pii" ->
+      s"""WITH planted AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |          THEN ' kontakt: hr' || CAST(doc_id AS VARCHAR) ||
+         |               '@firma' || CAST(doc_id % 7 AS VARCHAR) || '.ch'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |          THEN ' tel: +41 79 ' || CAST(doc_id % 1000 AS VARCHAR) ||
+         |               ' ' || CAST(doc_id % 100 AS VARCHAR)
+         |          ELSE '' END) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |                 '${TextOps.PhonePat}', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPat}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.PhonePat}')) AS BIGINT) AS n_phones
+         |FROM planted""".stripMargin,
     // every Gopher rule restated in SQL over the same split; thresholds are
     // exact integers so the cut is bit-identical
     "curate_gopher" ->

@@ -417,4 +417,50 @@ object TextOps {
     kept.join(keepers, "doc_id")
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_e4"))
   }
+
+  /** Email pattern shared by the engine and the oracle — a deliberately
+    * conservative public-pipeline shape (lowercase host mail), portable
+    * between Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+    * backrefs.
+    */
+  private[graft] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** International-format phone runs: `+` then digit groups separated by
+    * single spaces. Same portability constraints as [[EmailPat]].
+    */
+  private[graft] val PhonePat = "\\+[0-9]+( [0-9]+)+"
+
+  /** Deterministic contact-planted corpus for the PII queries: doc_id%3==0
+    * gains an email, doc_id%4==0 a phone number (both closed-form in
+    * doc_id, so the oracle replants them verbatim). The driver corpus is
+    * clean word tokens — without planting, redaction would be a no-op and
+    * verify nothing.
+    */
+  def piiPlantedCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" kontakt: hr"), col("doc_id"), lit("@firma"),
+            col("doc_id") % 7, lit(".ch"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" tel: +41 79 "), col("doc_id") % 1000, lit(" "),
+            col("doc_id") % 100)).otherwise(lit(""))).as("text"))
+
+  /** PII scrubbing — the redaction stage every public training-data
+    * pipeline runs before anything ships (emails and phone numbers →
+    * typed placeholder tokens, plus per-doc counts for the audit trail).
+    * Purely row-local: one scan, two regexp_replace + two regexp_count
+    * per row, ZERO shuffles — the map-side shape that scales to any
+    * corpus size (the partial-pipeline analogue of [[gopherFilter]]).
+    * Email placeholders are substituted before phone matching so the two
+    * patterns can never overlap-race.
+    * Output: (doc_id, redacted, n_emails, n_phones).
+    */
+  def redactPii(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id").cast("long").as("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>")).as("redacted"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"))
 }

@@ -223,4 +223,20 @@ class SamplingSearchSpec extends SparkTestBase {
     val p = TextOps.bpePairs(docs).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k, not a sort:\n$p")
   }
+
+  test("redactPii: emails and phones become placeholders, clean text untouched") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "bewerben an hr.lead+jobs@some-firm.ch oder +41 79 123 45 67 heute"),
+      (2L, "zwei adressen a@b.de und c.d@e-f.org"),
+      (3L, "kein kontakt hier 2024 worte")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("bewerben an <EMAIL> oder <PHONE> heute", 1L, 1L)))
+    assert(r(2L) === (("zwei adressen <EMAIL> und <EMAIL>", 2L, 0L)))
+    assert(r(3L) === (("kein kontakt hier 2024 worte", 0L, 0L)), "clean text must pass through")
+    // zero-shuffle scan shape: no exchange anywhere in the plan
+    val plan = TextOps.redactPii(corpus).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
