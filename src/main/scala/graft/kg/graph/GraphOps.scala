@@ -137,8 +137,7 @@ object GraphOps {
     * Output: (entity, rank_e6).
     */
   def pagerankWeighted(triples: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = coocEdgesWeighted(triples).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val edges = pin(coocEdgesWeighted(triples))
     val wdeg = edges.groupBy(col("x")).agg(sum(col("w")).as("wdeg"))
     val ed = edges.join(wdeg, "x")
     val init = wdeg.select(col("x").as("n"), lit(1000000L).as("r"))
@@ -163,9 +162,15 @@ object GraphOps {
     * size-aware shingle checkpoint this one is the right trade at every
     * scale.
     */
-  def pinnedEdges(triples: DataFrame): DataFrame =
-    coocEdges(triples).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  def pinnedEdges(triples: DataFrame): DataFrame = pin(coocEdges(triples))
+
+  /** The materializedOnce primitive the graph family shares: eager
+    * DISK_ONLY localCheckpoint (auto-released blocks, no caller cache
+    * contract). Use it on any GRAPH-sized relation consumed more than
+    * once inside one plan — iterated joins, self-joins, peel rounds.
+    */
+  private[graft] def pin(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Integer PageRank over the co-occurrence graph, `iters` synchronous
     * iterations statically unrolled (damping 85/100, jump mass 0.15e6;
@@ -349,9 +354,8 @@ object GraphOps {
   def shortestPaths(triples: DataFrame, seeds: Seq[String],
       rounds: Int = 4): DataFrame = {
     require(seeds.nonEmpty, "shortestPaths needs a seed set")
-    val edges = coocEdgesWeighted(triples)
-      .select(col("x"), col("y"), expr("1000000 div w").as("c"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val edges = pin(coocEdgesWeighted(triples)
+      .select(col("x"), col("y"), expr("1000000 div w").as("c")))
     val init = edges.select(col("x").as("n")).distinct()
       .select(col("n"), when(col("n").isin(seeds: _*), lit(0L)).as("d"))
     val fin = (1 to rounds).foldLeft(init) { (dist, _) =>
@@ -535,8 +539,6 @@ object GraphOps {
     * default geometry when pinned).
     */
   def ktrussOnEdges(edges: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame = {
-    def pin(df: DataFrame) = df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def sym(half: DataFrame) =
       half.union(half.select(col("y").as("x"), col("x").as("y")))
     val fin = (1 to rounds).foldLeft(

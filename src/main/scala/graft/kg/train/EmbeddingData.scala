@@ -79,8 +79,7 @@ object EmbeddingData {
     * per side.
     */
   def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
-    val w = walks.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val w = graft.kg.graph.GraphOps.pin(walks)
     w.select(col("walk_id"), col("step").as("i"), col("node").as("center"))
       .join(w.select(col("walk_id"), col("step").as("j"),
         col("node").as("context")), "walk_id")
