@@ -17,7 +17,9 @@ object PlanAudit {
     "dedup_embedding", "dedup_minhash_lsh", "sim_ivf_topk", "dedup_simhash",
     "dedup_clusters", "sim_ivf_kmeans_topk", "sim_batch_topk", "sim_knn_join",
     "curate_corpus", "kg_entity_pagerank", "kg_entity_triangles",
-    "curate_gopher", "curate_source_gate", "text_bpe_merges")
+    "curate_gopher", "curate_source_gate", "text_bpe_merges",
+    "kg_entailed_triples", "kg_property_table", "kg_star_optional",
+    "kg_entity_lpa", "kg_walk_pairs", "curate_redact_pii")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
