@@ -125,6 +125,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** CONTINUOUS maintenance of the property-table materialized view —
+    * [[graft.kg.query.TripleStore.propertyTableIncrement]] driven by
+    * `foreachBatch` (the [[maintainCoocEdges]] discipline: the stream
+    * reuses the BATCH incremental operator, so stream-maintained and
+    * daily-batch-maintained views can never diverge; StreamingSpec pins
+    * stream-folded ≡ from-scratch). Per micro-batch: touched subjects are
+    * re-aggregated from one semi probe of the committed triples + the
+    * batch; untouched wide rows pass through. UNLIKE co-occurrence there
+    * is NO single-batch arrival contract — a subject's triples may span
+    * micro-batches, the increment re-reads its committed triples.
+    *
+    * The new view is pinned (eager checkpoint) before overwriting its own
+    * input directory. At production scale the overwrite is an Iceberg
+    * MERGE (upsert of the rebuilt rows only — the pass-through rows never
+    * move); parquet-without-Iceberg makes the compute incremental and the
+    * IO a rewrite, stated per the TableIO substitution note.
+    */
+  def maintainPropertyTable(triples: DataFrame, wideDir: String,
+      triplesDir: String): StreamingQuery = {
+    triples.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def existing(dir: String): Option[DataFrame] =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+            Some(spark.read.parquet(dir))
+          else None
+        val storedTriples = existing(triplesDir).getOrElse(batch.limit(0))
+        val storedWide = existing(wideDir).getOrElse(
+          graft.kg.query.TripleStore.propertyTable(batch.limit(0)))
+        val next = graft.kg.graph.GraphOps.pin(
+          graft.kg.query.TripleStore.propertyTableIncrement(
+            storedWide, storedTriples, batch))
+        next.write.mode("overwrite").parquet(wideDir)
+        batch.write.mode("append").parquet(triplesDir)
+        ()
+      }
+      .start()
+  }
+
   /** Drive [[firstSeenDocsTtl]] over a parquet dir stream into a memory
     * sink.
     */

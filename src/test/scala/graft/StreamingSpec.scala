@@ -39,6 +39,40 @@ class StreamingSpec extends SparkTestBase {
     assert(folded.sorted.toSeq === scratch.sorted.toSeq)
   }
 
+  test("streamed property-table maintenance == from-scratch pivot, cross-batch subjects") {
+    import spark.implicits._
+    // D1's triples deliberately SPAN the two micro-batches — the increment
+    // must re-read its committed triples, not just the batch
+    val b1 = Seq(("D1", "hasTitle", "T1"), ("D2", "hasTitle", "T2"),
+      ("D2", "requiresSkill", "Java"))
+    val b2 = Seq(("D1", "requiresSkill", "Scala"), ("D1", "locatedIn", "L1"),
+      ("D3", "hasTitle", "T3"))
+    val srcDir = Files.createTempDirectory("stream-prop-src").toString
+    val wideDir = Files.createTempDirectory("stream-prop-wide").toString + "/t"
+    val triplesDir = Files.createTempDirectory("stream-prop-triples").toString + "/t"
+    b1.toDF("subj", "pred", "obj").write.mode("append").parquet(srcDir)
+    val q = StreamingIngest.maintainPropertyTable(
+      spark.readStream.schema("subj string, pred string, obj string")
+        .parquet(srcDir), wideDir, triplesDir)
+    try {
+      q.processAllAvailable()
+      b2.toDF("subj", "pred", "obj").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = spark.read.parquet(wideDir).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)), r.getString(6))).toSet
+    val scratch = graft.kg.query.TripleStore.propertyTable(
+      (b1 ++ b2).toDF("subj", "pred", "obj")).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)), r.getString(6))).toSet
+    assert(folded === scratch)
+    // and specifically: D1's wide row merged triples from BOTH batches
+    val d1 = spark.read.parquet(wideDir).where(col("subj") === "D1").collect()(0)
+    assert(d1.getString(1) === "T1" && d1.getString(3) === "L1" &&
+      d1.getString(6) === "Scala")
+  }
+
   test("streamed span-kind counts reconcile with batch") {
     val dir = Files.createTempDirectory("graft-stream-in").toString
     val postings = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
