@@ -592,6 +592,15 @@ object GraphOps {
     * at production scale) and only the node-cardinality label relation
     * moves per round. No driver round-trips (fixed K; convergence-checked
     * LPA would add the CC-style signature test).
+    *
+    * The per-round label relation is deliberately NOT checkpointed: its
+    * doubly-referenced subtrees (cnt feeds both the max agg and the
+    * tie-break join) are node-cardinality hash-aggs whose exchanges are
+    * reused within the one action — measured at sf0.1, per-round
+    * DISK_ONLY pins bought nothing (4.8 → 4.2 s, noise) while the same
+    * experiment REGRESSED the walk family (see [[randomWalksOnEdges]]);
+    * contrast [[ktrussOnEdges]], whose rounds re-execute a triangle
+    * SELF-JOIN and measured 24 → 4.6 s pinned.
     * Output: (entity, label).
     */
   def labelPropagation(triples: DataFrame, rounds: Int = 3): DataFrame =
@@ -637,6 +646,17 @@ object GraphOps {
     * pass over the frontier's adjacency — the same envelope as a
     * PageRank iteration restricted to the frontier; hub-degree fan-out
     * collapses map-side in the partial min agg.
+    *
+    * The per-step frontier is deliberately NOT checkpointed even though
+    * each step's relations are referenced twice (cand by the min agg +
+    * the tie-break join; next by the output union + the next frontier):
+    * the repeats are walk-cardinality aggs whose exchanges are reused
+    * within the one action — MEASURED at sf0.1: per-step DISK_ONLY pins
+    * left kg_random_walks flat (10.2 → 10.6 s) and regressed
+    * kg_walk_pairs 6.8 → 10.7 s (eager-action overhead exceeds any reuse
+    * win). Contrast [[ktrussOnEdges]] (triangle SELF-JOIN per round,
+    * 24 → 4.6 s pinned) — pin when the repeated subtree multiplies work,
+    * not merely when it is referenced twice.
     * Output: (walk_id, step, node), steps+1 rows per walk.
     */
   def randomWalks(triples: DataFrame, steps: Int = 3,
