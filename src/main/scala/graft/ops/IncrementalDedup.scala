@@ -98,18 +98,23 @@ object IncrementalDedup {
     * reader, which is what makes [[commitIncrement]] crash-safe. Tag order is
     * irrelevant to the relations (unions), so listing order doesn't matter.
     */
-  private def stateRelations(spark: SparkSession, stateDir: String)
+  private def stateRelations(spark: SparkSession, stateDir: String,
+      asOf: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val incRoot = Paths.get(stateDir, "increments")
     val committed =
-      if (!Files.isDirectory(incRoot)) Seq.empty[String]
+      if (!Files.isDirectory(incRoot)) Seq.empty[java.nio.file.Path]
       else {
         val s = Files.list(incRoot)
         try s.iterator().asScala.toSeq
           .filter(p => Files.exists(p.resolve("_COMMITTED")))
-          .map(_.toString).sorted
+          // SNAPSHOT bound: only increments whose tag sorts <= asOf are
+          // visible (tags are caller-chosen; date-like tags give the
+          // natural time-travel ordering)
+          .filter(p => asOf.forall(p.getFileName.toString <= _))
+          .sortBy(_.getFileName.toString)
         finally s.close()
       }
     def rel(sub: String): DataFrame =
@@ -251,6 +256,17 @@ object IncrementalDedup {
     val repN = bReps.select(col("rep_id"), col("n_shingles"))
       .unionByName(newReps.join(newSizes, Seq("rep_id"), "left")
         .select(col("rep_id"), coalesce(col("n"), lit(0L)).as("n_shingles")))
+    decide(allMembers, repN, comps)
+  }
+
+  /** The decision tail shared by [[incrementalClusters]] and
+    * [[decisionAsOf]]: cluster = CC component (or self), keeper = min
+    * member doc_id among clusters with signatures; zero-shingle groups
+    * keep themselves (mirrors the pair operators' no-signature behavior
+    * and the oracle).
+    */
+  private def decide(allMembers: DataFrame, repN: DataFrame,
+      comps: DataFrame): DataFrame = {
     val withCluster = allMembers
       .join(repN, "rep_id")
       .join(comps, Seq("rep_id"), "left")
@@ -260,12 +276,29 @@ object IncrementalDedup {
     withCluster
       .join(clusterMin, Seq("cluster"), "left")
       .select(col("doc_id"),
-        // zero-shingle groups: every member keeps itself (mirrors the
-        // pair operators' no-signature behavior and the oracle)
         when(col("n_shingles") > 0, col("cluster_keep"))
           .otherwise(col("doc_id")).as("keep_id"))
       .select(col("doc_id"), col("keep_id"),
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("is_dup"))
+  }
+
+  /** SNAPSHOT (time-travel) dedup decision — the state as of a committed
+    * increment tag, the Iceberg-snapshot idiom over the staged-increment
+    * layout: `asOf = Some(tag)` reads base + every increment whose tag
+    * sorts ≤ tag (date-like tags give calendar time travel); `None` reads
+    * the current state. What it buys a 100 TB pipeline: REPRODUCIBLE
+    * training runs ("the corpus exactly as the decision stood on day T")
+    * without retaining full per-day copies — the increments ARE the
+    * history, and no corpus-scale work re-runs (CC over the stored
+    * rep-level pair graph + the member inheritance join only).
+    */
+  def decisionAsOf(spark: SparkSession, stateDir: String,
+      asOf: Option[String] = None): DataFrame = {
+    val (reps, members, _, pairs) = stateRelations(spark, stateDir, asOf)
+    val comps = graft.kg.canon.ConnectedComponents
+      .run(pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("node").as("rep_id"), col("component"))
+    decide(members, reps.select(col("rep_id"), col("n_shingles")), comps)
   }
 
   /** Bump when the state layout or mechanics change. */

@@ -511,6 +511,27 @@ class OpsSpec extends SparkTestBase {
       .where(col("rep_id") === 999999999L).isEmpty)
   }
 
+  test("incremental dedup: as-of snapshot reads reproduce each day's decision") {
+    import java.nio.file.Files
+    import graft.ops.IncrementalDedup
+    val part = (r: Int) => corpus.where(pmod(col("doc_id"), lit(3)) === r)
+    val dir = Files.createTempDirectory("graft-inc-asof").toString
+    IncrementalDedup.commitState(spark, part(0), dir)
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
+    IncrementalDedup.commitIncrement(spark, dir, part(2), "day-2")
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // snapshot at day-1 = from-scratch over part0 ∪ part1, NOT the later data
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir, Some("day-1"))) ===
+      rows(Dedup.dupClusters(part(0).union(part(1)))))
+    // base-only snapshot: an asOf below every tag sees only the base commit
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir, Some("day-0"))) ===
+      rows(Dedup.dupClusters(part(0))))
+    // unbounded = current state = from-scratch over everything
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir, None)) ===
+      rows(Dedup.dupClusters(corpus)))
+  }
+
   test("incremental dedup: committed texts are never re-processed (corrupted-state proof)") {
     import java.nio.file.Files
     import graft.ops.IncrementalDedup
