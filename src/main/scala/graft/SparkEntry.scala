@@ -358,6 +358,11 @@ object SparkEntry {
       TripleStore.propertyTableIncrement(
         TripleStore.propertyTable(base), base, t.where(isShard))
     }),
+    // -- link prediction: resource-allocation scores for the missing edges
+    "kg_link_prediction" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.linkPredictionRA(Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")))),
     // -- chain BGP through the ontology: each posting's skills WITH their
     // direct categories (?s requiresSkill ?o1 . ?o1 is_a ?o2)
     "kg_chain_query" -> ((s, dir) => {
@@ -1129,6 +1134,21 @@ object SparkEntry {
     "kg_entity_pagerank_weighted" -> entityPagerankWeightedOracle,
     "kg_cooc_increment" -> coocIncrementOracle,
     "kg_taxonomy_closure" -> taxonomyClosureOracle,
+    // identical capped-wedge enumeration + integer RA sum + NOT EXISTS edge
+    // filter — bit-exact
+    "kg_link_prediction" ->
+      s"""$coocCtes,
+         |byz AS (SELECT e.x AS z, e.y AS n, d.deg
+         |        FROM edges e JOIN deg d ON e.x = d.x WHERE d.deg <= 64),
+         |cand AS (SELECT a.z, a.n AS a, b.n AS b, a.deg
+         |         FROM byz a JOIN byz b ON a.z = b.z WHERE a.n < b.n),
+         |scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+         |                  CAST(sum(1000000 // deg) AS BIGINT) AS ra_e6
+         |           FROM cand GROUP BY 1, 2),
+         |und AS (SELECT x, y FROM edges WHERE x < y)
+         |SELECT s.a AS x, s.b AS y, s.common, s.ra_e6
+         |FROM scored s LEFT JOIN und u ON s.a = u.x AND s.b = u.y
+         |WHERE u.x IS NULL""".stripMargin,
     "kg_entailed_triples" -> entailedTriplesOracle,
     "kg_entity_lpa" -> entityLpaOracle,
     "kg_negative_samples" -> negativeSamplesOracle,

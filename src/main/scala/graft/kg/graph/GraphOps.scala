@@ -686,4 +686,42 @@ object GraphOps {
     }
     rows
   }
+
+  /** LINK PREDICTION by resource allocation (Zhou, Lü & Zhang 2009 — the
+    * log-free member of the common-neighbor family, exact in integer
+    * fixed-point unlike Adamic–Adar's 1/log): score every NON-adjacent
+    * pair that shares ≥1 common neighbor, ra_e6 = Σ_z 1e6 div deg(z) over
+    * the common neighbors z. On the KG this is "suggest the missing
+    * co-occurrence edges" — candidate (skill, skill) facts no posting
+    * asserts yet but the neighborhood structure implies.
+    *
+    * `maxDeg` caps the wedge CENTERS: a hub z contributes deg(z)² candidate
+    * pairs (the quadratic that kills naive 2-hop enumeration at web scale)
+    * while contributing the LEAST score mass (1/deg) — dropping
+    * deg > maxDeg centers is the published practice and makes the
+    * enumeration Σ_z min(deg, maxDeg)² ≤ m·maxDeg, linear in edges. The
+    * cap is part of the operator's definition (the oracle states the same
+    * cap); callers tune it to their hub profile.
+    *
+    * Shape: one degree hash-agg → capped wedge self-equi-join on the
+    * center → (a, b) count+sum hash-agg → one left-anti equi-join drops
+    * existing edges. All equi-keyed.
+    * Output: (x, y, common, ra_e6), x < y, non-adjacent, common ≥ 1.
+    */
+  def linkPredictionRA(triples: DataFrame, maxDeg: Long = 64): DataFrame = {
+    val edges = pinnedEdges(triples)
+    val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val byZ = edges.select(col("x").as("z"), col("y").as("n"))
+      .join(deg.select(col("x").as("z"), col("deg")), "z")
+      .where(col("deg") <= maxDeg)
+    val cand = byZ.select(col("z"), col("n").as("a"), col("deg"))
+      .join(byZ.select(col("z"), col("n").as("b")), "z")
+      .where(col("a") < col("b"))
+    cand.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg")).as("ra_e6"))
+      .join(edges.select(col("x").as("a"), col("y").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("x"), col("b").as("y"), col("common"), col("ra_e6"))
+  }
 }

@@ -241,6 +241,21 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc.size === 1, "CC merges across the bridge — the contrast LPA exists for")
   }
 
+  test("linkPredictionRA: non-edges scored by common-neighbor mass, hubs capped") {
+    import spark.implicits._
+    // path A-B-C plus B-D: non-edges (A,C) share {B}, (A,D) share {B},
+    // (C,D) share {B}; deg(B)=3 → ra = 1e6 div 3 = 333333 each
+    val t = Seq(("D1", "m", "A"), ("D1", "m", "B"),
+      ("D2", "m", "B"), ("D2", "m", "C"), ("D3", "m", "B"), ("D3", "m", "D"))
+      .toDF("subj", "pred", "obj")
+    val r = GraphOps.linkPredictionRA(t).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3)))).toMap
+    assert(r === Map(("A", "C") -> ((1L, 333333L)), ("A", "D") -> ((1L, 333333L)),
+      ("C", "D") -> ((1L, 333333L))))
+    // the hub cap removes every wedge through B at maxDeg = 2
+    assert(GraphOps.linkPredictionRA(t, maxDeg = 2).isEmpty)
+  }
+
   test("randomWalks: deterministic, edge-valid, walksPerNode walks per entity") {
     val w1 = GraphOps.randomWalks(triples, steps = 3, walksPerNode = 2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
