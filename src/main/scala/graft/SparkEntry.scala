@@ -320,7 +320,7 @@ object SparkEntry {
           SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
           .select(col("subj"), col("pred"), col("obj")),
         pred = "requiresSkill",
-        vocab = (0 until 30).map(i => f"S$i%03d"))),
+        vocab = graft.kg.io.Dictionaries.gazSkills.map(_.entity_id).distinct.sorted)),
     // -- DeepWalk-style corpus: 2 deterministic hash-argmin walks per entity
     "kg_random_walks" -> ((s, dir) =>
       graft.kg.graph.GraphOps.randomWalks(Pipeline.allTriples(

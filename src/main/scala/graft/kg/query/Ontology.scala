@@ -19,21 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Ontology {
 
-  /** The deterministic `is_a` taxonomy over the synthetic KG's entity
-    * vocabulary: leaf entities → category → root, depth 2 everywhere
-    * (skills S000–S029 fan into 6 categories of 5; titles T000–T019 into 5
-    * families of 4; locations LOC00–LOC11 into 3 regions of 4; languages
-    * into one family). A real deployment swaps in its curated taxonomy
-    * through the same (child, parent) shape.
+  /** The deterministic `is_a` taxonomy over the KG's entity vocabulary:
+    * leaf entities → category → root, depth 2 everywhere (skills fan into
+    * categories of 5; titles into families of 4; locations into regions of
+    * 4; languages into one family). Leaves are DERIVED from the gazetteer
+    * vocabulary ([[graft.kg.io.Dictionaries]]) — grow a dictionary and the
+    * taxonomy follows; the oracles embed this same Seq verbatim so they
+    * can never drift from it. A real deployment swaps in its curated
+    * taxonomy through the same (child, parent) shape.
     */
-  val taxonomy: Seq[(String, String)] =
-    (0 until 30).map(i => (f"S$i%03d", s"SCAT${i / 5}")) ++
-      (0 until 6).map(c => (s"SCAT$c", "Skill")) ++
-      (0 until 20).map(i => (f"T$i%03d", s"TFAM${i / 4}")) ++
-      (0 until 5).map(c => (s"TFAM$c", "Title")) ++
-      (0 until 12).map(i => (f"LOC$i%02d", s"REG${i / 4}")) ++
-      (0 until 3).map(c => (s"REG$c", "Region")) ++
-      (0 until 3).map(i => (f"LANG$i%02d", "Language"))
+  val taxonomy: Seq[(String, String)] = {
+    import graft.kg.io.Dictionaries
+    def ids(g: Seq[graft.kg.schema.GazEntry]) = g.map(_.entity_id).distinct.sorted
+    def leafCats(leaves: Seq[String], per: Int, cat: String, root: String) = {
+      val leafRows = leaves.zipWithIndex.map { case (e, i) => (e, s"$cat${i / per}") }
+      val cats = leafRows.map(_._2).distinct.sorted.map((_, root))
+      leafRows ++ cats
+    }
+    leafCats(ids(Dictionaries.gazSkills), 5, "SCAT", "Skill") ++
+      leafCats(ids(Dictionaries.gazTitles), 4, "TFAM", "Title") ++
+      leafCats(ids(Dictionaries.gazLocations), 4, "REG", "Region") ++
+      ids(Dictionaries.gazLanguages).map((_, "Language"))
+  }
 
   def taxonomyDf(s: SparkSession): DataFrame = {
     import s.implicits._
