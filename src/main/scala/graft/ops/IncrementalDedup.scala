@@ -98,11 +98,41 @@ object IncrementalDedup {
     * reader, which is what makes [[commitIncrement]] crash-safe. Tag order is
     * irrelevant to the relations (unions), so listing order doesn't matter.
     */
+  /** The active BASE root: `stateDir/_GENERATION` (written atomically by
+    * [[compact]]) names the generation directory holding the folded base;
+    * absent, the base is the original [[commitState]] layout at the root.
+    * Unreferenced generation directories (a compaction that crashed before
+    * its pointer swap) are ignored by construction.
+    */
+  private def baseRoot(stateDir: String): String = {
+    val p = java.nio.file.Paths.get(stateDir, "_GENERATION")
+    if (java.nio.file.Files.exists(p))
+      s"$stateDir/${java.nio.file.Files.readString(p).trim}"
+    else stateDir
+  }
+
+  /** Tags already FOLDED into the active generation (recorded inside the
+    * generation BEFORE the pointer swap): excluded by every reader even if
+    * their increment directories still exist — a compaction that crashed
+    * between its atomic swap and its deletes must not double-count — and
+    * permanently retired for [[commitIncrement]].
+    */
+  private def foldedTagsOf(stateDir: String): Set[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val f = Paths.get(baseRoot(stateDir), "_FOLDED")
+    if (Files.exists(f))
+      Files.readAllLines(f).asScala.map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty
+  }
+
   private def stateRelations(spark: SparkSession, stateDir: String,
       asOf: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val base = baseRoot(stateDir)
+    val foldedTags = foldedTagsOf(stateDir)
     val incRoot = Paths.get(stateDir, "increments")
     val committed =
       if (!Files.isDirectory(incRoot)) Seq.empty[java.nio.file.Path]
@@ -110,6 +140,7 @@ object IncrementalDedup {
         val s = Files.list(incRoot)
         try s.iterator().asScala.toSeq
           .filter(p => Files.exists(p.resolve("_COMMITTED")))
+          .filter(p => !foldedTags.contains(p.getFileName.toString))
           // SNAPSHOT bound: only increments whose tag sorts <= asOf are
           // visible (tags are caller-chosen; date-like tags give the
           // natural time-travel ordering)
@@ -118,9 +149,74 @@ object IncrementalDedup {
         finally s.close()
       }
     def rel(sub: String): DataFrame =
-      committed.foldLeft(spark.read.parquet(s"$stateDir/$sub"))(
+      committed.foldLeft(spark.read.parquet(s"$base/$sub"))(
         (acc, d) => acc.unionByName(spark.read.parquet(s"$d/$sub")))
     (rel("reps"), rel("members"), rel("buckets"), rel("pairs"))
+  }
+
+  /** COMPACTION — fold every committed increment into one new base
+    * generation (the Iceberg rewrite-data-files analog for this state
+    * layout): read fan-in goes back to 1 directory per relation after any
+    * number of daily commits. Crash-safe by the same marker-last
+    * discipline as [[commitIncrement]]: the new `gen-<k>/` is written
+    * fully (its own `_COMMITTED` last), then the `_GENERATION` pointer is
+    * swapped ATOMICALLY (temp file + `ATOMIC_MOVE`), then the folded
+    * increments and the previous generation are deleted. A crash before
+    * the swap leaves an unreferenced directory every reader ignores; a
+    * crash after the swap leaves garbage increments that the final delete
+    * of a RE-RUN removes (re-running compact on a compacted store is a
+    * cheap no-op fold of zero increments).
+    *
+    * History trade, stated plainly: compaction FOLDS — [[decisionAsOf]]
+    * tags older than the compaction stop resolving (they now see the
+    * folded base, i.e. the state at compaction time). Retention policy =
+    * don't compact past tags you still need to time-travel to.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val (reps, members, buckets, pairs) = stateRelations(spark, stateDir)
+    val oldBase = baseRoot(stateDir)
+    val incRoot = Paths.get(stateDir, "increments")
+    val folded =
+      if (!Files.isDirectory(incRoot)) Seq.empty[java.nio.file.Path]
+      else {
+        val s = Files.list(incRoot)
+        try s.iterator().asScala.toSeq
+          .filter(p => Files.exists(p.resolve("_COMMITTED")))
+        finally s.close()
+      }
+    val genIdx = {
+      val s = Files.list(Paths.get(stateDir))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("gen-"))
+      finally s.close()
+    }
+    val gen = s"gen-${genIdx + 1}"
+    Seq("reps" -> reps, "members" -> members,
+      "buckets" -> buckets, "pairs" -> pairs).foreach { case (sub, df) =>
+      df.write.mode("overwrite").parquet(s"$stateDir/$gen/$sub")
+    }
+    // record the folded tags INSIDE the generation before it goes live:
+    // readers resolving this generation skip those increments even if a
+    // crash leaves their directories behind (no double counting)
+    Files.writeString(Paths.get(stateDir, gen, "_FOLDED"),
+      folded.map(_.getFileName.toString).mkString("\n"))
+    Files.createFile(Paths.get(stateDir, gen, "_COMMITTED"))
+    val tmp = Paths.get(stateDir, s"_GENERATION.tmp.$gen")
+    Files.writeString(tmp, gen)
+    Files.move(tmp, Paths.get(stateDir, "_GENERATION"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally s.close()
+      }
+    folded.foreach(rmTree)
+    if (oldBase != stateDir) rmTree(Paths.get(oldBase))
+    else Seq("reps", "members", "buckets", "pairs")
+      .foreach(sub => rmTree(Paths.get(stateDir, sub)))
   }
 
   /** Fold a shard INTO the committed state: after this, the state covers
@@ -145,7 +241,12 @@ object IncrementalDedup {
       bands: Int = 32, rows: Int = 1, maxBucket: Int = 1000): Unit = {
     import java.nio.file.{Files, Paths}
     val incDir = Paths.get(stateDir, "increments", shardTag)
-    if (!Files.exists(incDir.resolve("_COMMITTED"))) {
+    // a tag is PERMANENT once committed — whether it still lives as an
+    // increment directory or has been folded into a generation by
+    // [[compact]]; re-running either is a no-op (idempotent retry), so a
+    // retry racing a compaction can never resurrect or double a shard
+    if (!Files.exists(incDir.resolve("_COMMITTED")) &&
+        !foldedTagsOf(stateDir).contains(shardTag)) {
       val (bReps, _, bBuckets, _) = stateRelations(spark, stateDir)
       val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
       // pin each increment once: four write actions would otherwise re-run

@@ -532,6 +532,32 @@ class OpsSpec extends SparkTestBase {
       rows(Dedup.dupClusters(corpus)))
   }
 
+  test("incremental dedup: compaction folds increments, survives crash leftovers") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IncrementalDedup
+    val part = (r: Int) => corpus.where(pmod(col("doc_id"), lit(4)) === r)
+    val dir = Files.createTempDirectory("graft-inc-compact").toString
+    IncrementalDedup.commitState(spark, part(0), dir)
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
+    IncrementalDedup.commitIncrement(spark, dir, part(2), "day-2")
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = rows(IncrementalDedup.decisionAsOf(spark, dir))
+    IncrementalDedup.compact(spark, dir)
+    // read fan-in is back to one generation; decision identical
+    assert(Files.readString(Paths.get(dir, "_GENERATION")).trim === "gen-1")
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) === before)
+    // a crash-between-swap-and-delete leftover must NOT double count:
+    // re-commit an already-folded increment directory verbatim
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) === before,
+      "a folded tag's leftover directory was read again (double counting)")
+    // life goes on: a post-compaction increment folds against the new base
+    IncrementalDedup.commitIncrement(spark, dir, part(3), "day-3")
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) ===
+      rows(Dedup.dupClusters(corpus)))
+  }
+
   test("incremental dedup: committed texts are never re-processed (corrupted-state proof)") {
     import java.nio.file.Files
     import graft.ops.IncrementalDedup
