@@ -132,6 +132,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(windows == 2, s"expected the two-level ranking (2 Window nodes), plan:\n$p")
   }
 
+  test("link prediction: wedge enumeration stays equi-join, anti-join drops edges") {
+    val p = plan("kg_link_prediction")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "2-hop wedge enumeration degenerated to an all-pairs nested loop")
+    assert(p.contains("LeftAnti"), "existing-edge filter must be an anti join")
+  }
+
+  test("chain BGP: the ontology hop is broadcast, no cartesian") {
+    val p = plan("kg_chain_query")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the metadata-sized is_a hop should broadcast")
+  }
+
+  test("entailment: single-pass shape — the ancestor explode sits ABOVE every union") {
+    val p = plan("kg_entailed_triples")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ancestor-array join should broadcast:\n${p.take(1500)}")
+    // the old `t ∪ (t ⋈ closure)` formulation planned the extraction
+    // subtree once per union branch, with a Union ABOVE the closure join;
+    // the single-pass shape has the entail explode above ALL unions (the
+    // only unions left are the ones INSIDE the one triple derivation).
+    // Assert on the optimized logical plan — the AQE physical string
+    // duplicates subtrees and defeats positional checks.
+    val lp = SparkEntry.queries("kg_entailed_triples")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val explodeAt = lp.indexOf("explode(concat")
+    val unionAt = lp.indexOf("Union")
+    assert(explodeAt >= 0, s"entail explode missing:\n${lp.take(1500)}")
+    assert(unionAt < 0 || explodeAt < unionAt,
+      s"a Union sits above the entail explode (double derivation):\n${lp.take(1500)}")
+  }
+
   test("salted skill join takes the shuffle (non-broadcast) path") {
     val p = plan("kg_skills_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
