@@ -47,26 +47,41 @@ object Ontology {
     taxonomy.toDF("child", "parent")
   }
 
-  /** Transitive closure of an `(child, parent)` edge relation, `rounds`
-    * statically-unrolled extension joins: `r_{i+1} = r_i ∪ (r_i ⋈ edges)`,
-    * distinct. Linear unroll covers path length ≤ rounds+1 — right for a
-    * taxonomy whose depth is a known schema property (here 2; rounds=2
-    * leaves one verification round of slack: the last round must add
-    * nothing new for the closure to be complete). For unknown-depth graphs
-    * use path DOUBLING (`r ⋈ r`, log₂ rounds) or the convergence-checked
-    * driver loop of [[graft.kg.canon.ConnectedComponents]] — for
-    * metadata-sized ontologies the difference is irrelevant and the linear
-    * unroll keeps the oracle a plain recursive CTE.
+  /** Transitive closure of an `(child, parent)` edge relation —
+    * CONVERGENCE-CHECKED extension joins `r_{i+1} = r_i ∪ (r_i ⋈ edges)`
+    * (distinct), iterated until a round adds no rows. A static unroll
+    * would silently TRUNCATE a taxonomy deeper than its round count (a
+    * schema change away from wrong entailments); the fixpoint loop costs
+    * one metadata-scale count per round — taxonomies describe the entity
+    * VOCABULARY, so the driver round-trips are catalog-sized, the same
+    * budget class as [[graft.kg.canon.ConnectedComponents]]'s convergence
+    * test. `maxRounds` bounds runaway inputs; CYCLES are rejected
+    * explicitly (a cyclic is_a closure converges but makes nodes their
+    * own ancestors — always a data bug, better thrown than entailed).
     *
     * Output: (child, anc), NOT reflexive (a node is not its own ancestor).
     */
-  def transitiveClosure(edges: DataFrame, rounds: Int = 2): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
     val step = edges.select(col("child").as("anc"), col("parent").as("anc2"))
-    (1 to rounds).foldLeft(edges.select(col("child"), col("parent").as("anc"))) {
-      (r, _) =>
-        r.union(r.join(step, Seq("anc")).select(col("child"), col("anc2").as("anc")))
-          .distinct()
+    var r = edges.select(col("child"), col("parent").as("anc"))
+    var n = r.count()
+    var round = 0
+    var grew = true
+    while (grew) {
+      round += 1
+      require(round <= maxRounds,
+        s"taxonomy closure did not converge within $maxRounds rounds")
+      val next = r.union(
+        r.join(step, Seq("anc")).select(col("child"), col("anc2").as("anc")))
+        .distinct()
+      val m = next.count()
+      grew = m != n
+      r = next
+      n = m
     }
+    require(r.where(col("child") === col("anc")).isEmpty,
+      "cyclic is_a taxonomy: a node is its own ancestor")
+    r
   }
 
   /** RDFS-style entailment: the input triples PLUS, for every triple whose

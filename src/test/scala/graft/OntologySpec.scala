@@ -10,13 +10,19 @@ import graft.kg.train.EmbeddingData
   */
 class OntologySpec extends SparkTestBase {
 
-  test("transitiveClosure: depth-3 chain closes fully at rounds=2") {
+  test("transitiveClosure: converges to the full closure at any depth") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("child", "parent")
-    val r = Ontology.transitiveClosure(edges, rounds = 2).collect()
+    val r = Ontology.transitiveClosure(edges).collect()
       .map(x => (x.getString(0), x.getString(1))).toSet
     assert(r === Set(("a", "b"), ("a", "c"), ("a", "d"),
       ("b", "c"), ("b", "d"), ("c", "d")))
+    // a deep chain is CLOSED, not silently truncated at some unroll count
+    val deep = (0 until 7).map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
+    assert(Ontology.transitiveClosure(deep).count() === 7L * 8 / 2)
+    // cycles are a data bug — rejected, never entailed
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("child", "parent")
+    intercept[IllegalArgumentException] { Ontology.transitiveClosure(cyc) }
   }
 
   test("transitiveClosure of the shipped taxonomy: leaf -> category -> root") {
