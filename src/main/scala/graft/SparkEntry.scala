@@ -358,6 +358,23 @@ object SparkEntry {
       TripleStore.propertyTableIncrement(
         TripleStore.propertyTable(base), base, t.where(isShard))
     }),
+    // -- extraction-quality evaluation: the BASELINE P/R metric as a scale
+    // operator, scored on a deterministically-degraded predictor (10%
+    // hash-dropped FNs + the negative sampler's guaranteed FPs)
+    "kg_eval_pr" -> ((s, dir) => {
+      val gold = Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj"))
+      val keepH = conv(substring(md5(
+        concat_ws("|", col("subj"), col("pred"), col("obj"))), 1, 15), 16, 10)
+        .cast("long")
+      val kept = gold.where(pmod(keepH, lit(10L)) =!= 0)
+      val fps = graft.kg.train.EmbeddingData.negativeSamples(
+        gold, pred = "requiresSkill",
+        vocab = graft.kg.io.Dictionaries.gazSkills.map(_.entity_id).distinct.sorted)
+        .select(col("subj"), col("pred"), col("obj_neg").as("obj"))
+      graft.kg.query.Eval.triplePR(kept.union(fps), gold)
+    }),
     // -- link prediction: resource-allocation scores for the missing edges
     "kg_link_prediction" -> ((s, dir) =>
       graft.kg.graph.GraphOps.linkPredictionRA(Pipeline.allTriples(
@@ -959,23 +976,64 @@ object SparkEntry {
        |SELECT n AS entity, lab AS label FROM l3""".stripMargin
   }
 
-  /** Filtered negative samples: identical portable md5-60 corruption index
-    * (mod 30 over the skill vocabulary) + the NOT EXISTS filter against
-    * the true triples — bit-exact vs EmbeddingData.negativeSamples.
+  /** CTE chain for the filtered negative samples (identical portable
+    * md5-60 corruption index mod 30 + the NOT EXISTS filter) — shared by
+    * the negative-sampling and evaluation oracles.
     */
-  private val negativeSamplesOracle: String = {
+  private val negFilteredCtes: String = {
     val h = OpsEntries.duckHash60("subj || '|' || obj || '|' || CAST(j AS VARCHAR)")
-    s"""WITH triples AS ($allTriplesOracle),
-       |pos AS (SELECT subj, pred, obj FROM triples WHERE pred = 'requiresSkill'),
+    s"""pos AS (SELECT subj, pred, obj FROM triples WHERE pred = 'requiresSkill'),
        |cand AS (
        |  SELECT subj, pred, obj, CAST(j AS BIGINT) AS neg_i,
        |    printf('S%03d', $h % 30) AS obj_neg
        |  FROM (SELECT subj, pred, obj, unnest(generate_series(0, 1)) AS j FROM pos)
-       |)
-       |SELECT c.subj, c.pred, c.obj, c.obj_neg, c.neg_i
-       |FROM cand c
-       |WHERE NOT EXISTS (SELECT 1 FROM pos p
-       |                  WHERE p.subj = c.subj AND p.obj = c.obj_neg)""".stripMargin
+       |),
+       |negs AS (
+       |  SELECT c.subj, c.pred, c.obj, c.obj_neg, c.neg_i
+       |  FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+       |                    WHERE p.subj = c.subj AND p.obj = c.obj_neg))""".stripMargin
+  }
+
+  /** Bit-exact vs EmbeddingData.negativeSamples. */
+  private val negativeSamplesOracle: String =
+    s"""WITH triples AS ($allTriplesOracle),
+       |$negFilteredCtes
+       |SELECT subj, pred, obj, obj_neg, neg_i FROM negs""".stripMargin
+
+  /** Triple-level P/R/F1 of the deterministically-degraded predictor
+    * (hash-dropped 10% false negatives + the negative sampler's
+    * guaranteed-false positives) against the closed-form gold — the
+    * identical set arithmetic and integer fixed-point ratios as
+    * Eval.triplePR.
+    */
+  private val evalPrOracle: String = {
+    val keepH = OpsEntries.duckHash60("subj || '|' || pred || '|' || obj")
+    s"""WITH triples AS ($allTriplesOracle),
+       |$negFilteredCtes,
+       |kept AS (SELECT subj, pred, obj FROM triples WHERE $keepH % 10 <> 0),
+       |p AS (SELECT DISTINCT subj, pred, obj FROM
+       |      (SELECT subj, pred, obj FROM kept
+       |       UNION ALL SELECT subj, pred, obj_neg AS obj FROM negs)),
+       |g AS (SELECT DISTINCT subj, pred, obj FROM triples),
+       |tp AS (SELECT p.pred, CAST(count(*) AS BIGINT) AS tp FROM p
+       |       WHERE EXISTS (SELECT 1 FROM g WHERE g.subj = p.subj
+       |                     AND g.pred = p.pred AND g.obj = p.obj)
+       |       GROUP BY 1),
+       |np AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pred FROM p GROUP BY 1),
+       |ng AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_gold FROM g GROUP BY 1),
+       |m AS (SELECT ng.pred, COALESCE(np.n_pred, 0) AS n_pred, ng.n_gold,
+       |             COALESCE(tp.tp, 0) AS tp
+       |      FROM ng LEFT JOIN np ON ng.pred = np.pred
+       |      LEFT JOIN tp ON ng.pred = tp.pred),
+       |r AS (SELECT pred, n_pred, n_gold, tp,
+       |        CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred ELSE 0 END AS p_e6,
+       |        CASE WHEN n_gold > 0 THEN (tp * 1000000) // n_gold ELSE 0 END AS r_e6
+       |      FROM m)
+       |SELECT pred, n_pred, n_gold, tp, p_e6, r_e6,
+       |  CASE WHEN p_e6 + r_e6 > 0 THEN (2 * p_e6 * r_e6) // (p_e6 + r_e6)
+       |       ELSE 0 END AS f1_e6
+       |FROM r""".stripMargin
   }
 
   /** Deterministic random walks, the SAME 3 statically-unrolled hash-argmin
@@ -1152,6 +1210,7 @@ object SparkEntry {
     "kg_entailed_triples" -> entailedTriplesOracle,
     "kg_entity_lpa" -> entityLpaOracle,
     "kg_negative_samples" -> negativeSamplesOracle,
+    "kg_eval_pr" -> evalPrOracle,
     "kg_random_walks" -> randomWalksOracle,
     "kg_walk_pairs" -> walkPairsOracle,
     "kg_property_table" -> propertyTableOracle,

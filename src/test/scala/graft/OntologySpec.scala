@@ -76,6 +76,24 @@ class OntologySpec extends SparkTestBase {
     assert(perPositive.values.forall(_ <= 4))
   }
 
+  test("triplePR: hand-computed per-predicate precision/recall/F1") {
+    import spark.implicits._
+    val gold = Seq(("1", "p", "a"), ("2", "p", "b"), ("3", "p", "c"),
+      ("1", "q", "x")).toDF("subj", "pred", "obj")
+    // p: 2 tp, 1 fp, 1 fn -> P = 2/3, R = 2/3; q: missed entirely -> 0/0/0
+    val predicted = Seq(("1", "p", "a"), ("2", "p", "b"), ("9", "p", "zz"))
+      .toDF("subj", "pred", "obj")
+    val r = graft.kg.query.Eval.triplePR(predicted, gold).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    assert(r("p") === ((3L, 3L, 2L, 666666L, 666666L, 666666L)))
+    assert(r("q") === ((0L, 1L, 0L, 0L, 0L, 0L)))
+    // duplicates collapse: triple-SET semantics
+    val dup = predicted.union(predicted)
+    assert(graft.kg.query.Eval.triplePR(dup, gold).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap.apply("p") === 3L)
+  }
+
   test("skipGramPairs: hand-computed window-2 counts over a fixed walk") {
     import spark.implicits._
     // one walk A B C D: window 2 pairs (ordered) — (A,B),(A,C),(B,A),(B,C),
