@@ -1053,7 +1053,8 @@ object SparkEntry {
          |         GROUP BY 1)""".stripMargin
     }
     s"""$coocCtes,
-       |w0 AS (SELECT d.x || '#' || CAST(r.r AS VARCHAR) AS walk_id, d.x AS cur
+       |w0 AS (SELECT CAST(length(d.x) AS VARCHAR) || ':' || d.x || '#' ||
+       |              CAST(r.r AS VARCHAR) AS walk_id, d.x AS cur
        |       FROM deg d CROSS JOIN
        |         (SELECT unnest(generate_series(0, 1)) AS r) r),
        |${step("w0", 1)},

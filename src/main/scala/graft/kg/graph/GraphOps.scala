@@ -628,7 +628,11 @@ object GraphOps {
     * DeepWalk/node2vec PREPROCESSING step (Perozzi et al. 2014): emit
     * `walksPerNode` length-`steps` walks per entity (DeepWalk's γ
     * parameter — one walk per node under-samples every neighborhood;
-    * walk r of node n has walk_id `n#r`, and since the next-hop hash is
+    * walk r of node n has walk_id `len(n):n#r` — the LENGTH PREFIX makes
+    * the (node, r) encoding injective for arbitrary string entity ids
+    * (without it, ids containing '#' could collide two different walks
+    * into one id and silently merge them) and keeps the downstream
+    * `walk_id|step|y` hash input unambiguous; since the next-hop hash is
     * keyed on walk_id, the r walks of one node genuinely diverge);
     * downstream embedding training consumes the walks as sentences.
     * "Random" is a hash: from node `cur` at step `i`, the walk moves to
@@ -670,7 +674,10 @@ object GraphOps {
       conv(substring(md5(s), 1, 15), 16, 10).cast("long")
     val init = edges.select(col("x")).distinct()
       .select(col("x"), explode(expr(s"sequence(0, ${walksPerNode - 1})")).as("r"))
-      .select(concat_ws("#", col("x"), col("r")).as("walk_id"), col("x").as("cur"))
+      // length-prefixed walk id: injective over arbitrary string node ids
+      // (see scaladoc); r is digits and terminates the id unambiguously
+      .select(concat(length(col("x")).cast("string"), lit(":"), col("x"),
+        lit("#"), col("r").cast("string")).as("walk_id"), col("x").as("cur"))
     val (rows, _) = (1 to steps).foldLeft(
       (init.select(col("walk_id"), lit(0L).as("step"), col("cur").as("node")),
         init)) { case ((acc, frontier), i) =>

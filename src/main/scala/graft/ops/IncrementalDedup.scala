@@ -126,33 +126,49 @@ object IncrementalDedup {
     else Set.empty
   }
 
-  private def stateRelations(spark: SparkSession, stateDir: String,
-      asOf: Option[String] = None)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The committed, not-yet-folded increment directories visible right now
+    * (optionally bounded by an as-of tag), in tag order. Listed ONCE per
+    * read so a caller that both reads and retires increments ([[compact]])
+    * acts on exactly one consistent set.
+    */
+  private def visibleIncrements(stateDir: String, foldedTags: Set[String],
+      asOf: Option[String] = None): Seq[java.nio.file.Path] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val base = baseRoot(stateDir)
-    val foldedTags = foldedTagsOf(stateDir)
     val incRoot = Paths.get(stateDir, "increments")
-    val committed =
-      if (!Files.isDirectory(incRoot)) Seq.empty[java.nio.file.Path]
-      else {
-        val s = Files.list(incRoot)
-        try s.iterator().asScala.toSeq
-          .filter(p => Files.exists(p.resolve("_COMMITTED")))
-          .filter(p => !foldedTags.contains(p.getFileName.toString))
-          // SNAPSHOT bound: only increments whose tag sorts <= asOf are
-          // visible (tags are caller-chosen; date-like tags give the
-          // natural time-travel ordering)
-          .filter(p => asOf.forall(p.getFileName.toString <= _))
-          .sortBy(_.getFileName.toString)
-        finally s.close()
-      }
+    if (!Files.isDirectory(incRoot)) Seq.empty
+    else {
+      val s = Files.list(incRoot)
+      try s.iterator().asScala.toSeq
+        .filter(p => Files.exists(p.resolve("_COMMITTED")))
+        .filter(p => !foldedTags.contains(p.getFileName.toString))
+        // SNAPSHOT bound: only increments whose tag sorts <= asOf are
+        // visible (tags are caller-chosen; date-like tags give the
+        // natural time-travel ordering)
+        .filter(p => asOf.forall(p.getFileName.toString <= _))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+  }
+
+  /** The four relations of base ∪ exactly `committed` — shared by the
+    * listing readers and [[compact]] (which must fold precisely the set it
+    * will retire, not an independent re-listing).
+    */
+  private def relationsOf(spark: SparkSession, base: String,
+      committed: Seq[java.nio.file.Path])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def rel(sub: String): DataFrame =
       committed.foldLeft(spark.read.parquet(s"$base/$sub"))(
         (acc, d) => acc.unionByName(spark.read.parquet(s"$d/$sub")))
     (rel("reps"), rel("members"), rel("buckets"), rel("pairs"))
   }
+
+  private def stateRelations(spark: SparkSession, stateDir: String,
+      asOf: Option[String] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    relationsOf(spark, baseRoot(stateDir),
+      visibleIncrements(stateDir, foldedTagsOf(stateDir), asOf))
 
   /** COMPACTION — fold every committed increment into one new base
     * generation (the Iceberg rewrite-data-files analog for this state
@@ -171,24 +187,36 @@ object IncrementalDedup {
     * tags older than the compaction stop resolving (they now see the
     * folded base, i.e. the state at compaction time). Retention policy =
     * don't compact past tags you still need to time-travel to.
+    *
+    * SINGLE WRITER: compact() must not run concurrently with another
+    * compact() or with [[commitIncrement]] — an increment that lands
+    * between the fold's read and the pointer swap would be retired without
+    * its data entering the new generation. The crash-safety claims above
+    * are about a writer DYING mid-operation, not about concurrent writers;
+    * serialize state mutations (one daily driver), exactly as Iceberg
+    * serializes commits through its catalog.
     */
   def compact(spark: SparkSession, stateDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val (reps, members, buckets, pairs) = stateRelations(spark, stateDir)
     val oldBase = baseRoot(stateDir)
-    val incRoot = Paths.get(stateDir, "increments")
-    val folded =
-      if (!Files.isDirectory(incRoot)) Seq.empty[java.nio.file.Path]
-      else {
-        val s = Files.list(incRoot)
-        try s.iterator().asScala.toSeq
-          .filter(p => Files.exists(p.resolve("_COMMITTED")))
-        finally s.close()
-      }
+    val prevFolded = foldedTagsOf(stateDir)
+    // list the committed increments ONCE: this exact set is what the new
+    // generation folds, what _FOLDED retires, and what gets deleted — a
+    // separate re-listing could silently drop a racing commit's data
+    val folded = visibleIncrements(stateDir, prevFolded)
+    val (reps, members, buckets, pairs) = relationsOf(spark, oldBase, folded)
+    // next generation = 1 + the highest gen-<k> index present on disk (live
+    // pointer target or crashed leftovers) — NEVER a count of gen dirs:
+    // after compact #2 deletes gen-1, a count would re-derive "gen-2" and
+    // overwrite the LIVE generation it is lazily reading from
     val genIdx = {
       val s = Files.list(Paths.get(stateDir))
-      try s.iterator().asScala.count(_.getFileName.toString.startsWith("gen-"))
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("gen-") =>
+          n.stripPrefix("gen-").toIntOption.getOrElse(0) }
+        .foldLeft(0)(math.max)
       finally s.close()
     }
     val gen = s"gen-${genIdx + 1}"
@@ -196,11 +224,15 @@ object IncrementalDedup {
       "buckets" -> buckets, "pairs" -> pairs).foreach { case (sub, df) =>
       df.write.mode("overwrite").parquet(s"$stateDir/$gen/$sub")
     }
-    // record the folded tags INSIDE the generation before it goes live:
+    // record the retired tags INSIDE the generation before it goes live:
     // readers resolving this generation skip those increments even if a
-    // crash leaves their directories behind (no double counting)
+    // crash leaves their directories behind (no double counting). The list
+    // CARRIES FORWARD the previous generation's retired tags — retirement
+    // is permanent across compactions, so a delayed retry of a
+    // first-compaction tag still hits the commitIncrement no-op guard
     Files.writeString(Paths.get(stateDir, gen, "_FOLDED"),
-      folded.map(_.getFileName.toString).mkString("\n"))
+      (prevFolded ++ folded.map(_.getFileName.toString)).toSeq.sorted
+        .mkString("\n"))
     Files.createFile(Paths.get(stateDir, gen, "_COMMITTED"))
     val tmp = Paths.get(stateDir, s"_GENERATION.tmp.$gen")
     Files.writeString(tmp, gen)
@@ -214,6 +246,12 @@ object IncrementalDedup {
         finally s.close()
       }
     folded.foreach(rmTree)
+    // crash-after-swap garbage from EARLIER compactions: increment dirs
+    // whose tags were already retired are dead weight every reader skips —
+    // sweep them here (the re-run-compact cleanup the docstring promises)
+    visibleIncrements(stateDir, Set.empty)
+      .filter(p => prevFolded.contains(p.getFileName.toString))
+      .foreach(rmTree)
     if (oldBase != stateDir) rmTree(Paths.get(oldBase))
     else Seq("reps", "members", "buckets", "pairs")
       .foreach(sub => rmTree(Paths.get(stateDir, sub)))

@@ -265,7 +265,8 @@ class GraphOpsSpec extends SparkTestBase {
     // 4 entities × 2 walks × (steps+1) positions; step 0 = the seed itself
     assert(w1.length === 4 * 2 * 4)
     assert(w1.filter(_._2 == 0L).map(x => (x._1, x._3)).toSet ===
-      Set("A", "B", "C", "D").flatMap(n => Set((s"$n#0", n), (s"$n#1", n))))
+      Set("A", "B", "C", "D").flatMap(n =>
+        Set((s"${n.length}:$n#0", n), (s"${n.length}:$n#1", n))))
     // every consecutive hop is a real edge
     val edges = GraphOps.coocEdges(triples).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
@@ -276,6 +277,28 @@ class GraphOpsSpec extends SparkTestBase {
           assert(edges.contains((a, b)), s"walk hop $a -> $b is not an edge")
         case _ =>
       }
+    }
+  }
+
+  test("randomWalks: delimiter characters in entity ids cannot merge walks") {
+    val s = spark
+    import s.implicits._
+    // adversarial vocabulary: ids built from the '#'/'|' walk-id and
+    // hash-input delimiters, including pairs ('a', 'a#1') whose naive
+    // concatenations collide — the length-prefixed walk_id must keep one
+    // distinct id per (node, r) and exactly steps+1 rows per walk
+    val ids = Seq("a", "a#1", "a#1#0", "x|y", "x")
+    val triples = ids.combinations(2).flatMap(p =>
+      Seq((s"doc-${p(0)}-${p(1)}", "p", p(0)), (s"doc-${p(0)}-${p(1)}", "p", p(1))))
+      .toSeq.toDF("subj", "pred", "obj")
+    val w = GraphOps.randomWalks(triples, steps = 2, walksPerNode = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // every node is connected (pairwise docs), so: |ids| × 3 walks × 3 steps
+    assert(w.length === ids.length * 3 * 3,
+      "colliding walk ids merged or corrupted walks")
+    assert(w.map(_._1).distinct.length === ids.length * 3)
+    w.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L), s"walk $id malformed")
     }
   }
 }

@@ -558,6 +558,41 @@ class OpsSpec extends SparkTestBase {
       rows(Dedup.dupClusters(corpus)))
   }
 
+  test("incremental dedup: repeated compactions (generation index, tag retirement carry-forward)") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IncrementalDedup
+    val part = (r: Int) => corpus.where(pmod(col("doc_id"), lit(4)) === r)
+    val dir = Files.createTempDirectory("graft-inc-recompact").toString
+    IncrementalDedup.commitState(spark, part(0), dir)
+    def rows(df: DataFrame): Set[(Long, Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (upTo: Int) =>
+      rows(Dedup.dupClusters((1 to upTo).foldLeft(part(0))(
+        (acc, r) => acc.unionByName(part(r)))))
+    // compact #1 (folds day-1), #2 (folds day-2; deletes gen-1 so a naive
+    // dir COUNT would re-derive the live generation's name), #3 (folds
+    // nothing new — must still pick a fresh generation, not overwrite the
+    // live gen-2 it reads from)
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
+    IncrementalDedup.compact(spark, dir)
+    IncrementalDedup.commitIncrement(spark, dir, part(2), "day-2")
+    IncrementalDedup.compact(spark, dir)
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) === expect(2))
+    IncrementalDedup.compact(spark, dir)
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) === expect(2))
+    assert(Files.readString(Paths.get(dir, "_GENERATION")).trim === "gen-3")
+    // retirement carries forward: day-1 was folded by compact #1 whose
+    // generation is long gone — a delayed retry must still be a no-op, not
+    // a re-fold that duplicates the shard's member rows
+    IncrementalDedup.commitIncrement(spark, dir, part(1), "day-1")
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) === expect(2),
+      "a tag retired by an earlier generation was re-folded after compaction")
+    // and the lifecycle continues on the compacted store
+    IncrementalDedup.commitIncrement(spark, dir, part(3), "day-3")
+    assert(rows(IncrementalDedup.decisionAsOf(spark, dir)) ===
+      rows(Dedup.dupClusters(corpus)))
+  }
+
   test("incremental dedup: committed texts are never re-processed (corrupted-state proof)") {
     import java.nio.file.Files
     import graft.ops.IncrementalDedup
