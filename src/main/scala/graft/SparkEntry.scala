@@ -211,7 +211,7 @@ object SparkEntry {
       graft.kg.graph.GraphOps.edgeSupport(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
-    // -- k-truss: edge-level community cores (k=3, 2 peel rounds) --
+    // -- k-truss: edge-level community cores (k=3, convergence-checked) --
     "kg_entity_ktruss" -> ((s, dir) =>
       graft.kg.graph.GraphOps.ktruss(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
@@ -236,7 +236,7 @@ object SparkEntry {
       TripleStore.siblingQuery(s.read.parquet(root), via = "locatedIn",
         constraints = Seq(TriplePattern("requiresSkill", obj = Some("S001"))))
     }),
-    // -- k-core: entities in robustly-connected neighborhoods (k=2, 4 rounds)
+    // -- k-core: robustly-connected entities (k=2, convergence-checked) --
     "kg_entity_kcore" -> ((s, dir) =>
       graft.kg.graph.GraphOps.kcore(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
@@ -246,7 +246,7 @@ object SparkEntry {
       graft.kg.graph.GraphOps.edgeLift(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
-    // -- weighted shortest paths: min-cost relatedness from the seed set --
+    // -- weighted shortest paths: converged min-cost from the seed set --
     "kg_entity_wsp" -> ((s, dir) =>
       graft.kg.graph.GraphOps.shortestPaths(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
@@ -690,37 +690,44 @@ object SparkEntry {
        |JOIN deg dy ON u.y = dy.x
        |LEFT JOIN sup s ON u.x = s.x AND u.y = s.y""".stripMargin
 
-  /** k-truss, the SAME 2 statically-unrolled peel rounds (k=3) + final
-    * support labeling as GraphOps.ktruss — per-round triangle enumeration
-    * from the plain orientation (per-edge counts are orientation-
-    * independent) — bit-exact.
+  /** k-truss (k=3) stated as the FIXPOINT itself, not a round-count: a
+    * recursive CTE over DuckDB's working-table semantics (the recursive
+    * reference sees only the previous round's rows) re-peels the last edge
+    * set and emits the survivors only while the set still SHRINKS — so the
+    * recursion runs exactly as many rounds as this input's cascades need,
+    * with no unroll depth to keep in sync with the engine. At termination
+    * the max-iter rows are either already the fixpoint (nothing removed)
+    * or one filter away from the empty one, so `fix` applies the survivor
+    * filter once more; final supports are counted within `fix`. Pairing
+    * this with the engine's convergence-checked loop verifies the k-truss
+    * DEFINITION, not merely two identically-truncated unrolls.
     */
   private val entityKtrussOracle: String = {
-    // MATERIALIZED is load-bearing: each h CTE is referenced 3× by the next
-    // round's triangle join — without the hint DuckDB inlines the whole
-    // upstream derivation into every reference (3^rounds expansion of the
-    // corpus CTEs; measured minutes instead of seconds)
-    def supCtes(prev: String, i: Int) =
-      s"""tri$i AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c
-         |          FROM $prev e1 JOIN $prev e2 ON e1.y = e2.x
-         |          JOIN $prev e3 ON e3.x = e1.x AND e3.y = e2.y),
-         |es$i AS (SELECT a AS x, b AS y FROM tri$i
-         |         UNION ALL SELECT b, c FROM tri$i
-         |         UNION ALL SELECT a, c FROM tri$i),
-         |sup$i AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS supp
-         |          FROM es$i GROUP BY 1, 2)""".stripMargin
-    def peel(prev: String, i: Int) =
-      s"""${supCtes(prev, i)},
-         |h$i AS MATERIALIZED (SELECT h.x, h.y FROM $prev h
-         |        LEFT JOIN sup$i s ON h.x = s.x AND h.y = s.y
-         |        WHERE COALESCE(s.supp, 0) >= 1)""".stripMargin
-    s"""$coocCtes,
+    def sup(rel: String) = {
+      val tri = s"(SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM $rel e1 " +
+        s"JOIN $rel e2 ON e1.y = e2.x JOIN $rel e3 ON e3.x = e1.x AND e3.y = e2.y)"
+      s"(SELECT x, y, CAST(count(*) AS BIGINT) AS supp FROM (" +
+        s"SELECT t.a AS x, t.b AS y FROM $tri t " +
+        s"UNION ALL SELECT t.b, t.c FROM $tri t " +
+        s"UNION ALL SELECT t.a, t.c FROM $tri t) cr GROUP BY 1, 2)"
+    }
+    val surv = s"(SELECT e.x, e.y FROM peel e LEFT JOIN ${sup("peel")} s " +
+      "ON e.x = s.x AND e.y = s.y WHERE COALESCE(s.supp, 0) >= 1)"
+    s"""WITH RECURSIVE ${coocCtes.stripPrefix("WITH ")},
        |h0 AS MATERIALIZED (SELECT x, y FROM edges WHERE x < y),
-       |${peel("h0", 1)},
-       |${peel("h1", 2)},
-       |${supCtes("h2", 3)}
-       |SELECT h.x, h.y, COALESCE(s.supp, 0) AS supp
-       |FROM h2 h LEFT JOIN sup3 s ON h.x = s.x AND h.y = s.y""".stripMargin
+       |peel(iter, x, y) AS (
+       |  SELECT 0, x, y FROM h0
+       |  UNION ALL
+       |  SELECT p.iter + 1, p.x, p.y FROM peel p
+       |  WHERE EXISTS (SELECT 1 FROM $surv sv WHERE sv.x = p.x AND sv.y = p.y)
+       |    AND (SELECT count(*) FROM $surv sv2) < (SELECT count(*) FROM peel)
+       |),
+       |last AS MATERIALIZED (SELECT x, y FROM peel
+       |        WHERE iter = (SELECT max(iter) FROM peel)),
+       |fix AS MATERIALIZED (SELECT e.x, e.y FROM last e LEFT JOIN ${sup("last")} s
+       |        ON e.x = s.x AND e.y = s.y WHERE COALESCE(s.supp, 0) >= 1)
+       |SELECT f.x, f.y, COALESCE(s.supp, 0) AS supp
+       |FROM fix f LEFT JOIN ${sup("fix")} s ON f.x = s.x AND f.y = s.y""".stripMargin
   }
 
   /** Clustering coefficient: the triangle CTEs + degrees + the identical
@@ -811,19 +818,23 @@ object SparkEntry {
        |FROM d4 WHERE d IS NOT NULL""".stripMargin
   }
 
-  /** Weighted shortest paths, the SAME 4 statically-unrolled Bellman–Ford
-    * relaxations as GraphOps.shortestPaths (cost 1e6 // w, full reached-set
-    * relaxation each round) — bit-exact.
+  /** Weighted shortest paths stated as the Bellman–Ford FIXPOINT (the
+    * recursive-working-table pattern of [[entityKcoreOracle]], carried on
+    * the full node-distance relation): each recursive step relaxes the
+    * previous round's distances over the cost edges and emits the new
+    * distance table only while some node still improves — true min-cost
+    * distances at any diameter, no relaxation count to keep in sync with
+    * the engine's convergence-checked loop. Distances only ever decrease,
+    * so max(iter) rows are the fixpoint (the guard stopped emitting
+    * exactly when a round changed nothing).
     */
   private val entityWspOracle: String = {
     val seedsIn = "('S001', 'LANG00')"
-    def round(i: Int) =
-      s"""p$i AS (SELECT e.y, min(d.d + e.c) AS nd
-         |        FROM ce e JOIN d${i - 1} d ON e.x = d.n
-         |        WHERE d.d IS NOT NULL GROUP BY e.y),
-         |d$i AS MATERIALIZED (SELECT d.n, least(d.d, p.nd) AS d
-         |        FROM d${i - 1} d LEFT JOIN p$i p ON d.n = p.y)""".stripMargin
-    s"""WITH triples AS ($allTriplesOracle),
+    val relax = """(SELECT d.n, least(d.d, p.nd) AS d FROM peel d
+      LEFT JOIN (SELECT e.y, min(d2.d + e.c) AS nd FROM ce e
+                 JOIN peel d2 ON e.x = d2.n WHERE d2.d IS NOT NULL
+                 GROUP BY e.y) p ON d.n = p.y)"""
+    s"""WITH RECURSIVE triples AS ($allTriplesOracle),
        |ent AS (SELECT DISTINCT subj AS d, obj AS e FROM triples),
        |whalf AS (SELECT least(a.e, b.e) AS x, greatest(a.e, b.e) AS y,
        |                 CAST(count(*) AS BIGINT) AS w
@@ -832,35 +843,47 @@ object SparkEntry {
        |ce AS MATERIALIZED (
        |  SELECT x, y, 1000000 // w AS c FROM whalf
        |  UNION ALL SELECT y, x, 1000000 // w FROM whalf),
-       |d0 AS MATERIALIZED (SELECT DISTINCT x AS n,
-       |  CASE WHEN x IN $seedsIn THEN CAST(0 AS BIGINT) END AS d FROM ce),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)},
-       |${round(4)}
+       |peel(iter, n, d) AS (
+       |  SELECT 0, n, d FROM (SELECT DISTINCT x AS n,
+       |    CASE WHEN x IN $seedsIn THEN CAST(0 AS BIGINT) END AS d FROM ce) d0
+       |  UNION ALL
+       |  SELECT p.iter + 1, r.n, r.d
+       |  FROM $relax r JOIN peel p ON r.n = p.n
+       |  WHERE EXISTS (SELECT 1 FROM $relax r2 JOIN peel q ON r2.n = q.n
+       |                WHERE r2.d IS NOT NULL AND (q.d IS NULL OR r2.d < q.d))
+       |)
        |SELECT n AS entity, CAST(d AS BIGINT) AS dist_e6
-       |FROM d4 WHERE d IS NOT NULL""".stripMargin
+       |FROM peel
+       |WHERE iter = (SELECT max(iter) FROM peel) AND d IS NOT NULL""".stripMargin
   }
 
-  /** k-core peel, the SAME 4 statically-unrolled rounds (k=2) as
-    * GraphOps.kcore: degrees ≥ k survive, edges restrict to surviving
-    * endpoints — bit-exact.
+  /** k-core (k=2) stated as the FIXPOINT itself (the [[entityKtrussOracle]]
+    * recursive-working-table pattern): each recursive step re-peels the
+    * previous round's edge set (degrees ≥ k survive, edges restrict to
+    * surviving endpoints) and emits only while the set shrinks; `core`
+    * applies the survivor filter once more to cover the peeled-to-empty
+    * termination. No round count anywhere — this IS the k-core definition,
+    * verified against the engine's convergence-checked peel.
     */
   private val entityKcoreOracle: String = {
-    // MATERIALIZED: e/s are each referenced 2-3× by the next round —
-    // without the hint DuckDB re-inlines the upstream chain per reference
-    def round(prevE: String, i: Int) =
-      s"""s$i AS MATERIALIZED (SELECT x FROM $prevE GROUP BY x HAVING count(*) >= 2),
-         |e$i AS MATERIALIZED (SELECT e.x, e.y FROM $prevE e
-         |        JOIN s$i a ON e.x = a.x JOIN s$i b ON e.y = b.x)""".stripMargin
-    s"""$coocCtes,
-       |e0 AS (SELECT x, y FROM edges),
-       |${round("e0", 1)},
-       |${round("e1", 2)},
-       |${round("e2", 3)},
-       |${round("e3", 4)}
+    val surv = """(SELECT e.x, e.y FROM peel e
+      WHERE e.x IN (SELECT x FROM peel GROUP BY x HAVING count(*) >= 2)
+        AND e.y IN (SELECT x FROM peel GROUP BY x HAVING count(*) >= 2))"""
+    s"""WITH RECURSIVE ${coocCtes.stripPrefix("WITH ")},
+       |peel(iter, x, y) AS (
+       |  SELECT 0, x, y FROM edges
+       |  UNION ALL
+       |  SELECT p.iter + 1, p.x, p.y FROM peel p
+       |  WHERE EXISTS (SELECT 1 FROM $surv sv WHERE sv.x = p.x AND sv.y = p.y)
+       |    AND (SELECT count(*) FROM $surv sv2) < (SELECT count(*) FROM peel)
+       |),
+       |last AS MATERIALIZED (SELECT x, y FROM peel
+       |        WHERE iter = (SELECT max(iter) FROM peel)),
+       |core AS (SELECT e.x, e.y FROM last e
+       |         WHERE e.x IN (SELECT x FROM last GROUP BY x HAVING count(*) >= 2)
+       |           AND e.y IN (SELECT x FROM last GROUP BY x HAVING count(*) >= 2))
        |SELECT x AS entity, CAST(count(*) AS BIGINT) AS deg_in_core
-       |FROM e4 GROUP BY 1""".stripMargin
+       |FROM core GROUP BY 1""".stripMargin
   }
 
   /** Subject-star BGP stated declaratively over the same closed-form triple

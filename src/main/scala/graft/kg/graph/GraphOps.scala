@@ -253,29 +253,49 @@ object GraphOps {
   /** k-CORE peeling over the co-occurrence graph: iteratively remove nodes
     * with degree < k until the k-core remains — the standard dense-substructure
     * filter (which entities sit in robustly-connected neighborhoods vs hang
-    * off sparse tendrils). `rounds` peel rounds are STATICALLY unrolled —
-    * same discipline as [[pagerank]]: no per-round driver round-trip, and
-    * the oracle unrolls the identical rounds so the hash match is exact.
-    * An R-round peel is the honest semantics (a peel converges in ≤
-    * longest-tendril-length rounds; GraphOpsSpec pins a fixture where the
-    * cascade needs multiple rounds and reaches its fixed point within R).
+    * off sparse tendrils). CONVERGENCE-CHECKED (the
+    * [[graft.kg.canon.ConnectedComponents.run]] discipline): the peel runs
+    * until a round removes nothing — the returned edges ARE the k-core on
+    * any input, however deep its cascades; there is no silent fixed-round
+    * truncation (the defect class a statically-unrolled peel has: a 100×
+    * corpus with longer tendrils would quietly return a superset). A peel
+    * never adds edges, so an unchanged edge COUNT is a sound fixpoint test
+    * — one metadata-scale count action per round, each round's survivor
+    * set pinned (graph-sized, referenced 3× by the next round).
+    * `maxRounds` is a runaway bound, not a semantic knob: exceeding it
+    * THROWS rather than returning the truncated superset (a peel halves
+    * nothing per round in the worst case, but real graphs converge in ≤
+    * longest-cascade-length rounds; raise the bound if a legitimate input
+    * ever trips it).
     * Shape per round: one hash-agg (degrees ≥ k → survivors) + two LEFT
     * SEMI joins restricting edges to surviving endpoints — all equi-keyed,
     * hub nodes are ordinary hash-agg groups.
-    * Output: (entity, deg_in_core) for k-core members after `rounds`.
+    * Output: (entity, deg_in_core) for k-core members at the fixpoint.
     */
-  def kcore(triples: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame =
-    kcoreOnEdges(pinnedEdges(triples), k, rounds)
+  def kcore(triples: DataFrame, k: Int = 2, maxRounds: Int = 64): DataFrame =
+    kcoreOnEdges(pinnedEdges(triples), k, maxRounds)
 
   /** [[kcore]] over an already-materialized symmetric edge relation. */
-  def kcoreOnEdges(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
-    val fin = (1 to rounds).foldLeft(edges) { (e, _) =>
+  def kcoreOnEdges(edges: DataFrame, k: Int = 2, maxRounds: Int = 64): DataFrame = {
+    var e = pin(edges.select(col("x"), col("y")))
+    var n = e.count()
+    var converged = n == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
       val surv = e.groupBy(col("x")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("x"))
-      e.join(surv, Seq("x"), "left_semi")
-        .join(surv.select(col("x").as("y")), Seq("y"), "left_semi")
+      val next = pin(e.join(surv, Seq("x"), "left_semi")
+        .join(surv.select(col("x").as("y")), Seq("y"), "left_semi"))
+      val m = next.count()
+      converged = m == n
+      n = m
+      e = next
+      round += 1
     }
-    fin.groupBy(col("x")).agg(count(lit(1)).as("deg_in_core"))
+    if (!converged) throw new IllegalStateException(
+      s"k-core peel not converged after $maxRounds rounds ($n edges left) — " +
+        "raise maxRounds; refusing to return a truncated superset")
+    e.groupBy(col("x")).agg(count(lit(1)).as("deg_in_core"))
       .select(col("x").as("entity"), col("deg_in_core"))
   }
 
@@ -340,20 +360,68 @@ object GraphOps {
   /** WEIGHTED shortest paths from a seed set — [[bfs]]'s weighted dual:
     * hop cost = 1e6 div w (stronger co-occurrence = cheaper hop, exact
     * integer floor; w ≥ 1e6 co-mentions → cost 0 is fine for a
-    * nonnegative relaxation), dist = min-cost path within `rounds` hops.
-    * `rounds` Bellman–Ford relaxation rounds statically unrolled under
-    * the [[pagerank]] discipline (fixed-R is the honest semantics: it IS
-    * the min cost over ≤ R-hop paths, and the oracle unrolls identically
-    * so the hash match is exact). Unlike BFS there is no static frontier
-    * predicate — a cheaper path can re-relax an already-reached node, so
-    * each round joins edges against the full reached set: one equi-join
-    * + min hash-agg + left join, edges loop-invariant
+    * nonnegative relaxation), dist = min cost over ALL paths.
+    * CONVERGENCE-CHECKED Bellman–Ford (the [[kcore]]/CC discipline):
+    * relaxation rounds run until none improves any node's distance — true
+    * shortest paths at any graph diameter, with `maxRounds` a THROWING
+    * runaway bound, never a silent hop truncation (the radius-limited
+    * semantics lives in [[hopBoundedShortestPaths]] under its honest
+    * name). Distances are monotone nonincreasing and bounded, so an
+    * unchanged (reached-count, distance-hash) signature is a sound
+    * fixpoint test — one metadata-scale agg action per round, the
+    * node-cardinality distance relation pinned per round to cut the
+    * iterated lineage. Unlike BFS there is no static frontier predicate —
+    * a cheaper path can re-relax an already-reached node, so each round
+    * joins edges against the full reached set: one equi-join + min
+    * hash-agg + left join, edges loop-invariant
     * ([[materializedEdgeTable]] layout at production).
     * Output: (entity, dist_e6), seeds at 0, reached entities only.
     */
   def shortestPaths(triples: DataFrame, seeds: Seq[String],
-      rounds: Int = 4): DataFrame = {
+      maxRounds: Int = 256): DataFrame = {
     require(seeds.nonEmpty, "shortestPaths needs a seed set")
+    val edges = pin(coocEdgesWeighted(triples)
+      .select(col("x"), col("y"), expr("1000000 div w").as("c")))
+    var dist = pin(edges.select(col("x").as("n")).distinct()
+      .select(col("n"), when(col("n").isin(seeds: _*), lit(0L)).as("d")))
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(col("d")).as("n"),
+        coalesce(sum(hash(col("n"), col("d")).cast("long")), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(dist)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(dist.where(col("d").isNotNull), col("x") === col("n"))
+        .groupBy(col("y")).agg(min(col("d") + col("c")).as("nd"))
+      val next = pin(dist.join(prop, col("n") === col("y"), "left")
+        .select(col("n"), least(col("d"), col("nd")).as("d")))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      dist = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"shortest-path relaxation not converged after $maxRounds rounds — " +
+        "raise maxRounds; refusing to return hop-truncated distances")
+    dist.where(col("d").isNotNull)
+      .select(col("n").as("entity"), col("d").as("dist_e6"))
+  }
+
+  /** Min-cost paths WITHIN a hop radius — the radius-R semantics the
+    * fixed-unroll used to (mis)serve under the shortest-paths name: dist =
+    * min cost over paths of ≤ `rounds` hops, the weighted analog of
+    * [[bfs]]'s radius-R halo (and like it, honest fixed-R semantics: the
+    * rounds ARE the contract, statically unrolled with no per-round driver
+    * action). Use [[shortestPaths]] when you mean the true fixpoint.
+    */
+  def hopBoundedShortestPaths(triples: DataFrame, seeds: Seq[String],
+      rounds: Int = 4): DataFrame = {
+    require(seeds.nonEmpty, "hopBoundedShortestPaths needs a seed set")
     val edges = pin(coocEdgesWeighted(triples)
       .select(col("x"), col("y"), expr("1000000 div w").as("c")))
     val init = edges.select(col("x").as("n")).distinct()
@@ -518,38 +586,55 @@ object GraphOps {
     * above [[kcore]] (every surviving edge sits in ≥ k−2 triangles WITHIN
     * the truss; a k-truss is the standard community-core definition that
     * a hub-spoke star can't fake, since spokes have zero support).
-    * `rounds` peel rounds statically unrolled under the [[kcore]]
-    * discipline (fixed-R is the honest semantics; GraphOpsSpec pins a
-    * K4-minus-an-edge fixture whose collapse needs the second round), and
-    * one final support pass labels the survivors. Each round is one
-    * degree-ordered triangle enumeration over the surviving edges (the
-    * [[triangles]] join, O(√m)-bounded hot groups) + one explode/hash-agg
-    * + one left-join filter — all equi-keyed. Output: (x, y, supp) for
-    * x < y edges of the truss, supp counted within it.
+    * CONVERGENCE-CHECKED like [[kcore]]: support-filter rounds run until
+    * one removes no edge — the result IS the k-truss at any cascade depth,
+    * never a fixed-round truncated superset; `maxRounds` is a runaway
+    * bound that THROWS when exceeded. The fixpoint round's support relation
+    * doubles as the survivor labeling (the set didn't change, so its
+    * within-truss supports are already computed) — convergence costs no
+    * extra triangle pass over the old truncated unroll.
+    * Each round is one degree-ordered triangle enumeration over the
+    * surviving edges (the [[triangles]] join, O(√m)-bounded hot groups) +
+    * one explode/hash-agg + one left-join filter — all equi-keyed.
+    * Output: (x, y, supp) for x < y edges of the truss, supp counted
+    * within it.
     */
-  def ktruss(triples: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame =
-    ktrussOnEdges(pinnedEdges(triples), k, rounds)
+  def ktruss(triples: DataFrame, k: Int = 3, maxRounds: Int = 64): DataFrame =
+    ktrussOnEdges(pinnedEdges(triples), k, maxRounds)
 
   /** [[ktruss]] over an already-materialized symmetric edge relation.
-    * Each round's surviving half is eagerly checkpointed (graph-sized, the
-    * [[pinnedEdges]] discipline) — load-bearing, not hygiene: the triangle
-    * enumeration self-joins its input 3×, so an un-materialized round-i
-    * half would re-execute the whole round-(i−1) computation per reference
-    * (3^rounds plan blow-up; measured 24 s → ~7 s at sf0.1 for the
-    * default geometry when pinned).
+    * Each round's surviving half (with supports) is eagerly checkpointed
+    * (graph-sized, the [[pinnedEdges]] discipline) — load-bearing, not
+    * hygiene: the triangle enumeration self-joins its input 3×, so an
+    * un-materialized round-i half would re-execute the whole round-(i−1)
+    * computation per reference (3^rounds plan blow-up; measured 24 s →
+    * ~7 s at sf0.1 when pinned).
     */
-  def ktrussOnEdges(edges: DataFrame, k: Int = 3, rounds: Int = 2): DataFrame = {
+  def ktrussOnEdges(edges: DataFrame, k: Int = 3, maxRounds: Int = 64): DataFrame = {
     def sym(half: DataFrame) =
       half.union(half.select(col("y").as("x"), col("x").as("y")))
-    val fin = (1 to rounds).foldLeft(
-      pin(edges.where(col("x") < col("y")).select(col("x"), col("y")))) {
-      (half, _) =>
-        pin(half.join(edgeTriangleSupport(sym(half)), Seq("x", "y"), "left")
-          .where(coalesce(col("supp"), lit(0L)) >= k - 2)
-          .select(col("x"), col("y")))
+    var half = pin(edges.where(col("x") < col("y")).select(col("x"), col("y")))
+    var n = half.count()
+    var labeled: DataFrame = null
+    var round = 0
+    while (labeled == null && round < maxRounds) {
+      val withSupp = pin(
+        half.join(edgeTriangleSupport(sym(half)), Seq("x", "y"), "left")
+          .select(col("x"), col("y"),
+            coalesce(col("supp"), lit(0L)).as("supp")))
+      val next = withSupp.where(col("supp") >= k - 2)
+      val m = next.count()
+      if (m == n) labeled = next // fixpoint: supports already counted within it
+      else {
+        half = next.select(col("x"), col("y")) // filter over the pinned relation
+        n = m
+      }
+      round += 1
     }
-    fin.join(edgeTriangleSupport(sym(fin)), Seq("x", "y"), "left")
-      .select(col("x"), col("y"), coalesce(col("supp"), lit(0L)).as("supp"))
+    if (labeled == null) throw new IllegalStateException(
+      s"k-truss peel not converged after $maxRounds rounds ($n edges left) — " +
+        "raise maxRounds; refusing to return a truncated superset")
+    labeled
   }
 
   /** Local CLUSTERING COEFFICIENT per entity — how interlinked an entity's

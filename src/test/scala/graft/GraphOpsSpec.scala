@@ -99,51 +99,64 @@ class GraphOpsSpec extends SparkTestBase {
   }
 
   test("kcore: k=2 peel keeps the triangle, drops the tendril") {
-    val r = GraphOps.kcore(triples, k = 2, rounds = 4).collect()
+    val r = GraphOps.kcore(triples, k = 2).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // D (deg 1) peels in round 1; the {A,B,C} triangle is the 2-core
     assert(r === Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
   }
 
-  test("kcore: a length-3 tendril cascades over multiple peel rounds") {
+  test("kcore: converges past any fixed unroll; a low cap throws, never truncates") {
     val s = spark
     import s.implicits._
-    // triangle T1-T2-T3 with chain T3-C1-C2-C3: C3 peels in round 1,
-    // C2 in round 2, C1 in round 3 — the fixed point needs 3 rounds
-    val e = Seq(("T1", "T2"), ("T2", "T3"), ("T3", "T1"),
-      ("T3", "C1"), ("C1", "C2"), ("C2", "C3"))
+    // triangle T1-T2-T3 with a SIX-node chain hanging off T3: the peel
+    // cascades one chain node per round, so the fixpoint needs 6 rounds —
+    // the round-4 static unroll this operator used to be would silently
+    // return {C1, C2} as part of the "core"
+    val e = Seq(("T1", "T2"), ("T2", "T3"), ("T3", "T1"), ("T3", "C1"),
+      ("C1", "C2"), ("C2", "C3"), ("C3", "C4"), ("C4", "C5"), ("C5", "C6"))
     val sym = (e ++ e.map(_.swap)).toDF("x", "y")
-    val r = GraphOps.kcoreOnEdges(sym, k = 2, rounds = 4).collect()
+    val r = GraphOps.kcoreOnEdges(sym, k = 2).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r === Map("T1" -> 2L, "T2" -> 2L, "T3" -> 2L))
-    // 2 rounds are NOT enough — the unrolled-rounds semantics is real
-    val r2 = GraphOps.kcoreOnEdges(sym, k = 2, rounds = 2).collect()
-      .map(r => r.getString(0)).toSet
-    assert(r2 === Set("T1", "T2", "T3", "C1"))
+    // a cap below the cascade depth must THROW, not return the superset
+    val ex = intercept[IllegalStateException] {
+      GraphOps.kcoreOnEdges(sym, k = 2, maxRounds = 4).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+    // peel-to-empty converges to the empty core (no edge survives k=3)
+    assert(GraphOps.kcoreOnEdges(sym, k = 3).collect().isEmpty)
   }
 
   test("ktruss: 3-truss keeps the triangle, drops the bridge") {
-    val r = GraphOps.ktruss(triples, k = 3, rounds = 2).collect()
+    val r = GraphOps.ktruss(triples, k = 3).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(r === Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 1L))
   }
 
-  test("ktruss: K4-minus-an-edge collapses under k=4 only at round 2") {
+  test("ktruss: cascades converge past any fixed unroll; K4 survives; low cap throws") {
     val s = spark
     import s.implicits._
-    // edges 12,13,14,23,24 (no 34): supp(12)=2, others 1. Round 1 of the
-    // 4-truss keeps only 12; round 2 finds it support-less and drops it.
+    // K4-minus-an-edge: supp(12)=2, others 1 — the 4-truss peel needs the
+    // second round to drop the last edge
     val e = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"))
     val sym = (e ++ e.map(_.swap)).toDF("x", "y")
-    assert(GraphOps.ktrussOnEdges(sym, k = 4, rounds = 2).collect().isEmpty)
-    // 1 round is NOT enough — the unrolled-rounds semantics is real
-    val r1 = GraphOps.ktrussOnEdges(sym, k = 4, rounds = 1).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(r1 === Set(("1", "2")))
+    assert(GraphOps.ktrussOnEdges(sym, k = 4).collect().isEmpty)
+    // a triangle STRIP v0..v7 (triangles (v_i, v_i+1, v_i+2)): interior
+    // edges have supp 2, boundary edges 1 — the k=4 peel eats one triangle
+    // per round from each end and needs ~4 rounds, beyond the old 2-round
+    // unroll (which would return the inner strip as a fake truss)
+    val strip = (0 to 6).map(i => (s"v$i", s"v${i + 1}")) ++
+      (0 to 5).map(i => (s"v$i", s"v${i + 2}"))
+    val symStrip = (strip ++ strip.map(_.swap)).toDF("x", "y")
+    assert(GraphOps.ktrussOnEdges(symStrip, k = 4).collect().isEmpty)
+    val ex = intercept[IllegalStateException] {
+      GraphOps.ktrussOnEdges(symStrip, k = 4, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
     // the full K4 is a genuine 4-truss: all 6 edges, supp 2 within it
     val k4 = e :+ (("3", "4"))
     val symK4 = (k4 ++ k4.map(_.swap)).toDF("x", "y")
-    val rK4 = GraphOps.ktrussOnEdges(symK4, k = 4, rounds = 2).collect()
+    val rK4 = GraphOps.ktrussOnEdges(symK4, k = 4).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(rK4.size === 6 && rK4.values.forall(_ === 2L))
   }
@@ -203,10 +216,32 @@ class GraphOpsSpec extends SparkTestBase {
 
   test("shortestPaths: weighted relaxation prefers the strong edge") {
     // costs: A-B = 1e6 div 2 = 500000; A-C, B-C, C-D = 1e6
-    val r = GraphOps.shortestPaths(triples, seeds = Seq("A"), rounds = 4)
+    val r = GraphOps.shortestPaths(triples, seeds = Seq("A"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r === Map("A" -> 0L, "B" -> 500000L,
       "C" -> 1000000L, "D" -> 2000000L))
+  }
+
+  test("shortestPaths: converges past any hop bound; hopBounded keeps the radius contract") {
+    val s = spark
+    import s.implicits._
+    // a 7-hop path: the converged operator reaches n7 (dist 7e6); the old
+    // 4-relaxation unroll could not — that radius semantics now lives only
+    // under the hopBounded name
+    val t = (0 until 7).map(i => (s"d$i", "p", s"n$i")) ++
+      (0 until 7).map(i => (s"d$i", "p", s"n${i + 1}"))
+    val triples7 = t.toDF("subj", "pred", "obj")
+    val r = GraphOps.shortestPaths(triples7, seeds = Seq("n0")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r.size === 8 && r("n7") === 7000000L)
+    val hb = GraphOps.hopBoundedShortestPaths(triples7, seeds = Seq("n0"),
+      rounds = 4).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hb.size === 5 && !hb.contains("n7") && hb("n4") === 4000000L)
+    // a cap below the diameter must THROW, never return truncated distances
+    val ex = intercept[IllegalStateException] {
+      GraphOps.shortestPaths(triples7, seeds = Seq("n0"), maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
   }
 
   test("bfs: multi-source takes the min over seeds") {
