@@ -43,6 +43,24 @@ class ExprSurfaceSpec extends SparkTestBase {
     assert(r.getDouble(2) == 5.0)
   }
 
+  test("wrong arity is an analysis error naming the function, not an index crash") {
+    F.register(spark)
+    for ((sql, fn) <- Seq(
+        "SELECT jaro_winkler('x')" -> "jaro_winkler",
+        "SELECT jaro_winkler('a', 'b', 'c')" -> "jaro_winkler",
+        "SELECT dot_product(array(1.0d))" -> "dot_product",
+        "SELECT l2_norm()" -> "l2_norm",
+        "SELECT l2_norm(array(1.0d), array(2.0d))" -> "l2_norm")) {
+      val ex = intercept[Exception] { spark.sql(sql).head() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(m => m.contains(fn) && m.contains("argument")),
+        s"$sql should fail naming $fn, got: ${ex.getMessage}")
+      assert(!ex.isInstanceOf[IndexOutOfBoundsException])
+    }
+  }
+
   test("proximity mentions: only li spans within k of the anchor match") {
     val s = spark
     import s.implicits._
