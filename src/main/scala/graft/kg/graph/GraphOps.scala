@@ -161,6 +161,16 @@ object GraphOps {
     * corpus-sized input it would otherwise recompute, so unlike the
     * size-aware shingle checkpoint this one is the right trade at every
     * scale.
+    *
+    * SCOPE: this is the EXPLORATION-scale entry (one-shot sessions, no
+    * standing tables). Every ITERATED consumer — pagerank/LPA/BFS/walk
+    * steps, k-core/k-truss peel rounds — re-joins edges on `x` each round,
+    * and against an in-session pin that join re-exchanges the edge side
+    * every iteration; the production default is [[materializedEdgeTable]]
+    * (bucketed+sorted by `x`: edges arrive partitioned from the scan, only
+    * node-cardinality state moves per round — measured, see BENCH.md
+    * workload 3). The registered `kg_entity_*` iterated queries read the
+    * table; single-pass consumers (triangles, support, lift) stay here.
     */
   def pinnedEdges(triples: DataFrame): DataFrame = pin(coocEdges(triples))
 

@@ -68,4 +68,31 @@ class SpanInvariantSpec extends SparkTestBase {
     graft.kg.Pipeline.allTriples(p, graft.kg.Pipeline.defaultGazetteers(spark)).count()
     SpanInvariant.enforce(SyntheticCorpus.postings(spark, "/root/testdata/sf0.001"), p)
   }
+
+  test("HTML on-ramp: flatten(render(postings)) reproduces spans byte-exactly") {
+    val s = spark
+    import s.implicits._
+    // adversarial texts: markup characters, entity-looking strings, fake
+    // closing tags, quotes, newlines, whitespace edges, unicode — the
+    // escaper/unescaper pair must round-trip all of them through HTML
+    val texts = Seq("", "a < b & c > d", "&amp;lt; literal", "line1\nline2",
+      "</p><p>fake close", "quote \" inside", "unicode √ü 中文 🚀",
+      "  leading and trailing  ", "Pensum 80 - 100%")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 80).map { i =>
+      val spans = (0 until rnd.nextInt(40)).map { j =>
+        if (j % 3 == 2) Span("media", "", s"img://$i/$j", j)
+        else Span(Seq("h1", "p", "li", "footer", "title", "h2")(rnd.nextInt(6)),
+          texts(rnd.nextInt(texts.length)), "", j)
+      }
+      PostingDoc(s"html-$i", spans)
+    }
+    val postings = spark.createDataset(docs).toDF()
+    SpanInvariant.enforce(postings,
+      graft.kg.io.HtmlSpans.flatten(graft.kg.io.HtmlSpans.render(postings)))
+    // and the derived sf0.001 corpus itself survives the round trip
+    val p = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
+    SpanInvariant.enforce(p,
+      graft.kg.io.HtmlSpans.flatten(graft.kg.io.HtmlSpans.render(p)))
+  }
 }
