@@ -220,48 +220,63 @@ object ScalingBench {
       // every iteration: measured at repl=800 it scales at 0.47 N->4N while
       // the bucketed path's iterations scale cleanly — the bench runs the
       // shape we tell users to run at scale.)
-      def oneRun(dir: String, tag: String): (Long, Long, Double) = {
-        val tbl = s"graft_scaling_edges_$tag"
-        spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        val out = Files.createTempDirectory("graft-edges").toString
-        val t0 = System.nanoTime()
+      // SPARK_GRAFT_GRAPH_PATH=pinned times the in-session pinnedEdges
+      // entry instead (derive = eager checkpoint of the edge relation,
+      // iterations re-exchange edges per round) — the exploration-scale
+      // contrast to the bucketed-table production default
+      val graphPath = sys.env.getOrElse("SPARK_GRAFT_GRAPH_PATH", "bucketed")
+      def oneRun(dir: String, tag: String): (Long, Long, Double, Double, Double) = {
+        def encoded = spark.read.parquet(dir).select(
+          xxhash64(col("subj")).as("subj"), col("pred"),
+          xxhash64(col("obj")).as("obj"))
         // dictionary-encode entities to 64-bit ids INSIDE the timed run —
         // the production sequence (at scale, canonicalization has already
         // assigned integer ids; xxhash64 stands in for that dictionary:
         // 200k entities → collision odds ~1e-9, and GraphOps is
         // key-type-generic so the same plan runs on either). Long keys
         // carry ~4× less row weight through the pair-distinct and hash
-        // with no string traversal — measured derive+write 37.5 → TBD s
-        // and the 2→8-core efficiency is what BENCH.md reports.
-        graft.kg.graph.GraphOps.coocEdges(
-            spark.read.parquet(dir).select(
-              xxhash64(col("subj")).as("subj"), col("pred"),
-              xxhash64(col("obj")).as("obj")))
-          .repartition(64, col("x"))
-          .write.bucketBy(64, "x").sortBy("x")
-          .option("path", s"$out/edges").format("parquet").saveAsTable(tbl)
+        // with no string traversal.
+        val tbl = s"graft_scaling_edges_$tag"
+        val out = Files.createTempDirectory("graft-edges").toString
+        val t0 = System.nanoTime()
+        val edges =
+          if (graphPath == "pinned")
+            graft.kg.graph.GraphOps.pinnedEdges(encoded) // eager: derive ends here
+          else {
+            spark.sql(s"DROP TABLE IF EXISTS $tbl")
+            graft.kg.graph.GraphOps.coocEdges(encoded)
+              .repartition(64, col("x"))
+              .write.bucketBy(64, "x").sortBy("x")
+              .option("path", s"$out/edges").format("parquet").saveAsTable(tbl)
+            spark.table(tbl)
+          }
         val t1 = System.nanoTime()
-        val ranks = graft.kg.graph.GraphOps.pagerankOnEdges(spark.table(tbl), iters = 3)
+        val ranks = graft.kg.graph.GraphOps.pagerankOnEdges(edges, iters = 3)
         // sum of final ranks forces every iteration; also a cross-run
         // determinism witness (integer arithmetic -> identical at any cpus)
         val row = ranks.agg(count(lit(1)).as("n"), sum(col("rank_e6")).as("m")).head()
-        val wall = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[scaling-graph] nodes=${row.getLong(0)} " +
-          f"rankMass=${row.getLong(1)} derive+write=${(t1 - t0) / 1e9}%.1f s " +
-          f"iterate=${(System.nanoTime() - t1) / 1e9}%.1f s wall=$wall%.1f s")
+        val t2 = System.nanoTime()
+        val (wall, derive, iterate) =
+          ((t2 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        System.err.println(f"[scaling-graph] path=$graphPath " +
+          f"nodes=${row.getLong(0)} rankMass=${row.getLong(1)} " +
+          f"derive=$derive%.1f s iterate=$iterate%.1f s wall=$wall%.1f s")
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         TableIO.deleteTree(out)
         spark.catalog.clearCache()
-        (row.getLong(0), row.getLong(1), wall)
+        (row.getLong(0), row.getLong(1), wall, derive, iterate)
       }
       oneRun(mentionsDirFor(math.min(repl, 10)), "warm") // small warm-up, discarded
       val runs = (1 to nRuns).map(_ => oneRun(mentionsDir, "timed"))
+      def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
       val walls = runs.map(_._3).sorted
-      val median = walls(walls.length / 2)
+      val median = med(runs.map(_._3))
       println(
         s"""{"metric":"graph_nodes_per_sec","value":${runs.head._1 / median},""" +
-        s""""unit":"nodes/sec","cpus":$cpus,"nodes":${runs.head._1},""" +
+        s""""unit":"nodes/sec","cpus":$cpus,"path":"$graphPath","nodes":${runs.head._1},""" +
         s""""rank_mass":${runs.head._2},"wall_sec_median":$median,""" +
+        s""""derive_sec_median":${med(runs.map(_._4))},""" +
+        s""""iterate_sec_median":${med(runs.map(_._5))},""" +
         s""""wall_sec_all":[${walls.mkString(",")}],"sf":"$sfDir","repl":$repl}""")
       spark.stop()
       return
