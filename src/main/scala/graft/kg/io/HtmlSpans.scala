@@ -69,8 +69,9 @@ object HtmlSpans {
           .otherwise(unescape(
             regexp_extract(f, "(?s)^<[^>]*>(.*)</[a-z0-9]+>$", 1))).as("text"),
         when(isMedia,
-          regexp_replace(regexp_extract(f, "src=\"([^\"]*)\"", 1),
-            "&quot;", "\"")).otherwise(lit("")).as("media_ref"),
+          regexp_replace(regexp_replace(
+            regexp_extract(f, "src=\"([^\"]*)\"", 1),
+            "&quot;", "\""), "&amp;", "&")).otherwise(lit("")).as("media_ref"),
         i.cast("int").as("offset"))
     }).as("spans"))
   }
@@ -84,7 +85,8 @@ object HtmlSpans {
     postings.select(col("doc_id"), expr(
       """array_join(transform(spans, sp ->
         |  CASE WHEN sp.kind = 'media'
-        |    THEN concat('<img src="', replace(sp.media_ref, '"', '&quot;'), '">')
+        |    THEN concat('<img src="',
+        |      replace(replace(sp.media_ref, '&', '&amp;'), '"', '&quot;'), '">')
         |    ELSE concat('<', sp.kind, '>',
         |      replace(replace(replace(sp.text,
         |        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),

@@ -78,10 +78,14 @@ class SpanInvariantSpec extends SparkTestBase {
     val texts = Seq("", "a < b & c > d", "&amp;lt; literal", "line1\nline2",
       "</p><p>fake close", "quote \" inside", "unicode √ü 中文 🚀",
       "  leading and trailing  ", "Pensum 80 - 100%")
+    // media refs get the same adversarial treatment: quotes, ampersands,
+    // and entity-looking substrings must survive the src="..." attribute
+    val refs = Seq("img://plain/0", "img://q?a=1&b=2", "img://quote\"mark",
+      "img://&quot;already", "img://&amp;amp")
     val rnd = new scala.util.Random(7)
     val docs = (0 until 80).map { i =>
       val spans = (0 until rnd.nextInt(40)).map { j =>
-        if (j % 3 == 2) Span("media", "", s"img://$i/$j", j)
+        if (j % 3 == 2) Span("media", "", refs((i + j) % refs.length), j)
         else Span(Seq("h1", "p", "li", "footer", "title", "h2")(rnd.nextInt(6)),
           texts(rnd.nextInt(texts.length)), "", j)
       }
