@@ -283,6 +283,10 @@ object SparkEntry {
     // -- k-core: robustly-connected entities (k=2, convergence-checked) --
     "kg_entity_kcore" -> ((s, dir) =>
       graft.kg.graph.GraphOps.kcoreOnEdges(entityEdges(s, dir))),
+    // -- HyperBall-style reach: per-entity 2-hop neighborhood size via ----
+    // mergeable KMV bottom-k sketches (exact below k, estimated above)
+    "kg_reach_sketch" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.reachSketchOnEdges(entityEdges(s, dir))),
     // -- lift-scored edges: association strength for graph pruning --
     "kg_edge_lift" -> ((s, dir) =>
       graft.kg.graph.GraphOps.edgeLift(Pipeline.allTriples(
@@ -920,6 +924,33 @@ object SparkEntry {
        |FROM core GROUP BY 1""".stripMargin
   }
 
+  /** Neighborhood-function sketch stated declaratively: the EXACT closed
+    * 2-hop neighborhood per node (self ∪ N ∪ N∘N over the symmetric
+    * edges), hashed with the portable 60-bit md5, ranked ascending, and
+    * fed through the identical KMV estimator ((k−1)·2^60 // h_k in
+    * HUGEINT, exact count below k) — bit-exact because bottom-k of a set
+    * is derivation-order-free, so the engine's iterative sketch merges
+    * must land on exactly these k hashes.
+    */
+  private val reachSketchOracle: String = {
+    val M = "1152921504606846976" // 2^60
+    s"""$coocCtes,
+       |r1 AS (SELECT x AS v, y AS u FROM edges
+       |       UNION SELECT x, x FROM edges),
+       |r2 AS (SELECT a.v, e.y AS u FROM r1 a JOIN edges e ON a.u = e.x
+       |       UNION SELECT v, u FROM r1),
+       |h AS (SELECT DISTINCT v, ${OpsEntries.duckHash60("u")} AS h FROM r2),
+       |rk AS (SELECT v, h,
+       |       row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM h),
+       |a AS (SELECT v, count(*) AS n,
+       |      max(CASE WHEN rn = 8 THEN h END) AS hk
+       |      FROM rk WHERE rn <= 8 GROUP BY 1)
+       |SELECT v AS entity,
+       |  CAST(CASE WHEN n < 8 THEN n
+       |       ELSE (7::HUGEINT * $M) // hk END AS BIGINT) AS reach_est
+       |FROM a""".stripMargin
+  }
+
   /** Subject-star BGP stated declaratively over the same closed-form triple
     * relation: one EXISTS per constraint pattern, one self-join per binding
     * — verifying both the [[graft.kg.query.TripleStore.starQuery]] join
@@ -1263,6 +1294,7 @@ object SparkEntry {
          |              AND s.pred = 'requiresSkill' AND s.obj = 'S001')""".stripMargin,
     "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
     "kg_entity_kcore" -> entityKcoreOracle,
+    "kg_reach_sketch" -> reachSketchOracle,
     "kg_entity_bfs" -> entityBfsOracle,
     "kg_entity_wsp" -> entityWspOracle,
     "kg_edge_lift" -> edgeLiftOracle,

@@ -789,6 +789,63 @@ object GraphOps {
     rows
   }
 
+  /** NEIGHBORHOOD-FUNCTION sketch — per-entity estimated reach at a hop
+    * radius, the HyperBall computation (Boldi & Vigna 2013: "how many
+    * nodes are within r hops of v", the primitive behind effective-
+    * diameter, harmonic-centrality and reachability profiling on
+    * web-scale graphs) restated with KMV bottom-k sketches instead of
+    * HyperLogLog registers — KMV merge is EXACT
+    * (`bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))`, the
+    * [[graft.kg.query.TripleStore.mergeKminSketches]] identity), which is
+    * what makes a bit-exact oracle possible; estimator and error envelope
+    * are the catalog sketch's ((k−1)·2^60 div h_k, ≈ 1/√(k−2)).
+    *
+    * Per round every node merges its own sketch with its neighbors'
+    * (N(v, r+1) = {v} ∪ ⋃ N(u, r)): the sketch relation is (node, h)
+    * rows — ≤ k per node — so a round is one edges⋈sketch equi-join
+    * (fan-out ≤ m·k) + a TWO-LEVEL bottom-k (group by (node, pmod(h,
+    * salts)) → per-bucket bottom-k → re-group by node), the salted-
+    * ranking discipline with a twist: the salt is the HASH VALUE itself,
+    * uniform by construction, so a degree-d hub's first-level group state
+    * is (d+1)·k/salts with NO adversarial skew possible; `salts` is the
+    * knob that bounds per-group state at web scale. `radius` is a
+    * semantic parameter (the r of the neighborhood function), not a
+    * convergence loop — radius-R is the contract, like [[bfs]].
+    * Output: (entity, reach_est) — exact |N(v, radius)| below k, the KMV
+    * estimate at ≥ k.
+    */
+  def reachSketch(triples: DataFrame, radius: Int = 2, k: Int = 8,
+      salts: Int = 16): DataFrame =
+    reachSketchOnEdges(pinnedEdges(triples), radius, k, salts)
+
+  /** [[reachSketch]] over an already-materialized symmetric edge relation. */
+  def reachSketchOnEdges(edges: DataFrame, radius: Int = 2, k: Int = 8,
+      salts: Int = 16): DataFrame = {
+    def hash60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def bottomK(rel: DataFrame): DataFrame =
+      rel.groupBy(col("node"), pmod(col("h"), lit(salts)).as("s"))
+        .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
+        .select(col("node"), explode(col("hs")).as("h"))
+        .groupBy(col("node"))
+        .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
+        .select(col("node"), explode(col("hs")).as("h"))
+    // r = 0: every node holds the sketch of {itself}
+    var r = pin(edges.select(col("x")).distinct()
+      .select(col("x").as("node"), hash60(col("x")).as("h")))
+    for (_ <- 1 to radius)
+      r = pin(bottomK(r.unionByName(
+        edges.join(r, col("x") === col("node"))
+          .select(col("y").as("node"), col("h")))))
+    val M = 1152921504606846976L // 2^60, the hash range
+    r.groupBy(col("node"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("node").as("entity"),
+        when(col("n") < k, col("n").cast("long")).otherwise(
+          expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div hk"))
+          .as("reach_est"))
+  }
+
   /** LINK PREDICTION by resource allocation (Zhou, Lü & Zhang 2009 — the
     * log-free member of the common-neighbor family, exact in integer
     * fixed-point unlike Adamic–Adar's 1/log): score every NON-adjacent

@@ -315,6 +315,37 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("reachSketch: exact counts below k, KMV estimate above, merge-exact") {
+    val s = spark
+    import s.implicits._
+    // path A-B-C-D-E (each consecutive pair co-occurs in one doc): closed
+    // 2-hop reaches are A:3 B:4 C:5 D:4 E:3 — all < k=8, so the sketch
+    // degenerates to exact counts
+    val t = (0 until 4).flatMap(i => Seq((s"d$i", "p", s"N${i}"), (s"d$i", "p", s"N${i + 1}")))
+      .toDF("subj", "pred", "obj")
+    val exact = GraphOps.reachSketch(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("N0" -> 3L, "N1" -> 4L, "N2" -> 5L, "N3" -> 4L, "N4" -> 3L))
+    // k=2: the center's 5-node neighborhood estimates through the KMV
+    // formula — replicate bottom-2 of the portable 60-bit hashes exactly
+    def hash60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def estOf(nodes: Seq[String]): Long = {
+      val h2 = nodes.map(hash60).sorted.apply(1)
+      (BigInt(1152921504606846976L) / BigInt(h2)).toLong
+    }
+    val est = GraphOps.reachSketch(t, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("N2") === estOf(Seq("N0", "N1", "N2", "N3", "N4")),
+      "KMV estimator mismatch at the center")
+    // an endpoint's closed 2-hop set is {self, next, next-next}
+    assert(est("N0") === estOf(Seq("N0", "N1", "N2")))
+    assert(est("N4") === estOf(Seq("N2", "N3", "N4")))
+  }
+
   test("randomWalks: delimiter characters in entity ids cannot merge walks") {
     val s = spark
     import s.implicits._
