@@ -287,6 +287,10 @@ object SparkEntry {
     // mergeable KMV bottom-k sketches (exact below k, estimated above)
     "kg_reach_sketch" -> ((s, dir) =>
       graft.kg.graph.GraphOps.reachSketchOnEdges(entityEdges(s, dir))),
+    // -- harmonic centrality from the same sketch profile (telescoping ----
+    // shell sum in integer e6 — HyperBall's headline application)
+    "kg_harmonic_centrality" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.harmonicCentralityOnEdges(entityEdges(s, dir))),
     // -- lift-scored edges: association strength for graph pruning --
     "kg_edge_lift" -> ((s, dir) =>
       graft.kg.graph.GraphOps.edgeLift(Pipeline.allTriples(
@@ -932,24 +936,46 @@ object SparkEntry {
     * is derivation-order-free, so the engine's iterative sketch merges
     * must land on exactly these k hashes.
     */
-  private val reachSketchOracle: String = {
+  /** Shared CTE chain: exact closed 1-hop/2-hop neighborhoods over the
+    * symmetric edges, hashed, ranked, and reduced to per-radius KMV
+    * estimates `q1.est` / `q2.est` (exact count below k=8) — the inputs of
+    * both sketch oracles.
+    */
+  private val reachEstCtes: String = {
     val M = "1152921504606846976" // 2^60
+    def estCtes(rel: String, tag: String) =
+      s"""h$tag AS (SELECT DISTINCT v, ${OpsEntries.duckHash60("u")} AS h
+         |          FROM $rel),
+         |rk$tag AS (SELECT v, h,
+         |       row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM h$tag),
+         |q$tag AS (SELECT v, CAST(CASE WHEN n < 8 THEN n
+         |            ELSE (7::HUGEINT * $M) // hk END AS BIGINT) AS est
+         |       FROM (SELECT v, count(*) AS n,
+         |             max(CASE WHEN rn = 8 THEN h END) AS hk
+         |             FROM rk$tag WHERE rn <= 8 GROUP BY 1))""".stripMargin
     s"""$coocCtes,
        |r1 AS (SELECT x AS v, y AS u FROM edges
        |       UNION SELECT x, x FROM edges),
        |r2 AS (SELECT a.v, e.y AS u FROM r1 a JOIN edges e ON a.u = e.x
        |       UNION SELECT v, u FROM r1),
-       |h AS (SELECT DISTINCT v, ${OpsEntries.duckHash60("u")} AS h FROM r2),
-       |rk AS (SELECT v, h,
-       |       row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM h),
-       |a AS (SELECT v, count(*) AS n,
-       |      max(CASE WHEN rn = 8 THEN h END) AS hk
-       |      FROM rk WHERE rn <= 8 GROUP BY 1)
-       |SELECT v AS entity,
-       |  CAST(CASE WHEN n < 8 THEN n
-       |       ELSE (7::HUGEINT * $M) // hk END AS BIGINT) AS reach_est
-       |FROM a""".stripMargin
+       |${estCtes("r1", "1")},
+       |${estCtes("r2", "2")}""".stripMargin
   }
+
+  private val reachSketchOracle: String =
+    s"""$reachEstCtes
+       |SELECT v AS entity, est AS reach_est FROM q2""".stripMargin
+
+  /** Harmonic centrality from the same per-radius estimates: the identical
+    * clamped telescoping shell sum in HUGEINT, floor-divided per shell.
+    */
+  private val harmonicCentralityOracle: String =
+    s"""$reachEstCtes
+       |SELECT q1.v AS entity, q1.est AS est_r1, q2.est AS est_r2,
+       |  CAST(CAST(greatest(0, q1.est - 1) AS HUGEINT) * 1000000 // 1
+       |     + CAST(greatest(0, q2.est - q1.est) AS HUGEINT) * 1000000 // 2
+       |    AS BIGINT) AS harm_e6
+       |FROM q1 JOIN q2 ON q1.v = q2.v""".stripMargin
 
   /** Subject-star BGP stated declaratively over the same closed-form triple
     * relation: one EXISTS per constraint pattern, one self-join per binding
@@ -1295,6 +1321,7 @@ object SparkEntry {
     "kg_entity_pagerank_seeded" -> entityPagerankSeededOracle,
     "kg_entity_kcore" -> entityKcoreOracle,
     "kg_reach_sketch" -> reachSketchOracle,
+    "kg_harmonic_centrality" -> harmonicCentralityOracle,
     "kg_entity_bfs" -> entityBfsOracle,
     "kg_entity_wsp" -> entityWspOracle,
     "kg_edge_lift" -> edgeLiftOracle,

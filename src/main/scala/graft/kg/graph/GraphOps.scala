@@ -818,9 +818,11 @@ object GraphOps {
       salts: Int = 16): DataFrame =
     reachSketchOnEdges(pinnedEdges(triples), radius, k, salts)
 
-  /** [[reachSketch]] over an already-materialized symmetric edge relation. */
-  def reachSketchOnEdges(edges: DataFrame, radius: Int = 2, k: Int = 8,
-      salts: Int = 16): DataFrame = {
+  /** The pinned (node, h) sketch relations at radii 1..`radius` — shared
+    * by [[reachSketchOnEdges]] and [[harmonicCentralityOnEdges]].
+    */
+  private def sketchRounds(edges: DataFrame, radius: Int, k: Int,
+      salts: Int): Seq[DataFrame] = {
     def hash60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def bottomK(rel: DataFrame): DataFrame =
@@ -833,17 +835,63 @@ object GraphOps {
     // r = 0: every node holds the sketch of {itself}
     var r = pin(edges.select(col("x")).distinct()
       .select(col("x").as("node"), hash60(col("x")).as("h")))
-    for (_ <- 1 to radius)
+    (1 to radius).map { _ =>
       r = pin(bottomK(r.unionByName(
         edges.join(r, col("x") === col("node"))
           .select(col("y").as("node"), col("h")))))
-    val M = 1152921504606846976L // 2^60, the hash range
-    r.groupBy(col("node"))
+      r
+    }
+  }
+
+  private val M60 = 1152921504606846976L // 2^60, the hash range
+
+  /** The KMV estimate of a (node, h) sketch relation as column `name`:
+    * exact count below k, (k−1)·2^60 div h_k at ≥ k.
+    */
+  private def sketchEstimate(sketch: DataFrame, k: Int, name: String): DataFrame =
+    sketch.groupBy(col("node"))
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
-      .select(col("node").as("entity"),
+      .select(col("node"),
         when(col("n") < k, col("n").cast("long")).otherwise(
-          expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div hk"))
-          .as("reach_est"))
+          expr(s"cast(${k - 1} as decimal(38,0)) * ${M60}L div hk"))
+          .as(name))
+
+  /** [[reachSketch]] over an already-materialized symmetric edge relation. */
+  def reachSketchOnEdges(edges: DataFrame, radius: Int = 2, k: Int = 8,
+      salts: Int = 16): DataFrame =
+    sketchEstimate(sketchRounds(edges, radius, k, salts).last, k, "reach_est")
+      .withColumnRenamed("node", "entity")
+
+  /** HARMONIC CENTRALITY estimated from the neighborhood-function profile
+    * — HyperBall's headline application (Boldi & Vigna 2013: centrality =
+    * Σ_u 1/d(v,u), computed radius-by-radius as Σ_r (|N(v,r)| −
+    * |N(v,r−1)|)/r without ever materializing distances): per-radius KMV
+    * estimates (exact below k) feed the same telescoping sum in integer
+    * e6 fixed-point, each shell term floor-divided and clamped at 0 (a
+    * shell estimate can regress when the sketch crosses the exact→
+    * estimated boundary; the clamp is part of the operator's definition
+    * and the oracle states it identically). Truncated at `radius` — the
+    * r-bounded harmonic centrality, the published practice (shells beyond
+    * the effective diameter contribute ~0 mass).
+    * Output: (entity, est_r1, est_r2, …, harm_e6).
+    */
+  def harmonicCentrality(triples: DataFrame, radius: Int = 2, k: Int = 8,
+      salts: Int = 16): DataFrame =
+    harmonicCentralityOnEdges(pinnedEdges(triples), radius, k, salts)
+
+  /** [[harmonicCentrality]] over a materialized symmetric edge relation. */
+  def harmonicCentralityOnEdges(edges: DataFrame, radius: Int = 2,
+      k: Int = 8, salts: Int = 16): DataFrame = {
+    val ests = sketchRounds(edges, radius, k, salts).zipWithIndex.map {
+      case (s, i) => sketchEstimate(s, k, s"est_r${i + 1}")
+    }
+    val joined = ests.reduce((a, b) => a.join(b, "node"))
+    val terms = (1 to radius).map { r =>
+      val prev = if (r == 1) "1L" else s"est_r${r - 1}"
+      s"cast(greatest(0L, est_r$r - $prev) as decimal(38,0)) * 1000000 div $r"
+    }
+    joined.withColumn("harm_e6", expr(terms.mkString(" + ")))
+      .withColumnRenamed("node", "entity")
   }
 
   /** LINK PREDICTION by resource allocation (Zhou, Lü & Zhang 2009 — the

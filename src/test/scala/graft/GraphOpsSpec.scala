@@ -344,6 +344,13 @@ class GraphOpsSpec extends SparkTestBase {
     // an endpoint's closed 2-hop set is {self, next, next-next}
     assert(est("N0") === estOf(Seq("N0", "N1", "N2")))
     assert(est("N4") === estOf(Seq("N2", "N3", "N4")))
+    // harmonic shell sum at exact (below-k) estimates: center N2 has
+    // shells |N1|-1 = 2 at distance 1 and |N2|-|N1| = 2 at distance 2 ->
+    // 2*1e6 + 2*1e6/2 = 3e6; endpoints 1e6 + 1e6/2
+    val harm = GraphOps.harmonicCentrality(t).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(harm === Map("N0" -> 1500000L, "N1" -> 2500000L,
+      "N2" -> 3000000L, "N3" -> 2500000L, "N4" -> 1500000L))
   }
 
   test("randomWalks: delimiter characters in entity ids cannot merge walks") {
