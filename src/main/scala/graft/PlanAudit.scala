@@ -20,7 +20,7 @@ object PlanAudit {
     "curate_gopher", "curate_source_gate", "text_bpe_merges",
     "kg_entailed_triples", "kg_property_table", "kg_star_optional",
     "kg_entity_lpa", "kg_walk_pairs", "curate_redact_pii",
-    "kg_html_spans", "kg_reach_sketch")
+    "kg_html_spans", "kg_reach_sketch", "kg_harmonic_centrality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -237,10 +237,11 @@ object ScalingBench {
         // carry ~4× less row weight through the pair-distinct and hash
         // with no string traversal.
         val tbl = s"graft_scaling_edges_$tag"
-        val out = Files.createTempDirectory("graft-edges").toString
+        val pinnedPath = graphPath == "pinned"
+        val out = if (pinnedPath) "" else Files.createTempDirectory("graft-edges").toString
         val t0 = System.nanoTime()
         val edges =
-          if (graphPath == "pinned")
+          if (pinnedPath)
             graft.kg.graph.GraphOps.pinnedEdges(encoded) // eager: derive ends here
           else {
             spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -261,8 +262,10 @@ object ScalingBench {
         System.err.println(f"[scaling-graph] path=$graphPath " +
           f"nodes=${row.getLong(0)} rankMass=${row.getLong(1)} " +
           f"derive=$derive%.1f s iterate=$iterate%.1f s wall=$wall%.1f s")
-        spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        TableIO.deleteTree(out)
+        if (!pinnedPath) {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          TableIO.deleteTree(out)
+        }
         spark.catalog.clearCache()
         (row.getLong(0), row.getLong(1), wall, derive, iterate)
       }
@@ -270,7 +273,7 @@ object ScalingBench {
       val runs = (1 to nRuns).map(_ => oneRun(mentionsDir, "timed"))
       def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
       val walls = runs.map(_._3).sorted
-      val median = med(runs.map(_._3))
+      val median = walls(walls.length / 2)
       println(
         s"""{"metric":"graph_nodes_per_sec","value":${runs.head._1 / median},""" +
         s""""unit":"nodes/sec","cpus":$cpus,"path":"$graphPath","nodes":${runs.head._1},""" +

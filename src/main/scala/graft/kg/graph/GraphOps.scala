@@ -285,9 +285,16 @@ object GraphOps {
   def kcore(triples: DataFrame, k: Int = 2, maxRounds: Int = 64): DataFrame =
     kcoreOnEdges(pinnedEdges(triples), k, maxRounds)
 
-  /** [[kcore]] over an already-materialized symmetric edge relation. */
+  /** [[kcore]] over an already-materialized symmetric edge relation (the
+    * OnEdges contract: a bucketed table scan or an already-pinned
+    * relation — the input is deliberately NOT re-pinned, which would copy
+    * a whole bucketed table per run and discard its scan layout; round 1
+    * re-reads it 2–3×, every later round reads the pinned survivor set).
+    * An empty survivor set converges immediately (the empty core is fully
+    * determined — it must never trip the runaway throw).
+    */
   def kcoreOnEdges(edges: DataFrame, k: Int = 2, maxRounds: Int = 64): DataFrame = {
-    var e = pin(edges.select(col("x"), col("y")))
+    var e = edges.select(col("x"), col("y"))
     var n = e.count()
     var converged = n == 0L
     var round = 0
@@ -297,7 +304,7 @@ object GraphOps {
       val next = pin(e.join(surv, Seq("x"), "left_semi")
         .join(surv.select(col("x").as("y")), Seq("y"), "left_semi"))
       val m = next.count()
-      converged = m == n
+      converged = m == n || m == 0L
       n = m
       e = next
       round += 1
@@ -377,8 +384,12 @@ object GraphOps {
     * runaway bound, never a silent hop truncation (the radius-limited
     * semantics lives in [[hopBoundedShortestPaths]] under its honest
     * name). Distances are monotone nonincreasing and bounded, so an
-    * unchanged (reached-count, distance-hash) signature is a sound
-    * fixpoint test — one metadata-scale agg action per round, the
+    * unchanged (reached-count, distance-SUM) signature is a sound
+    * fixpoint test — any improvement strictly grows the count or shrinks
+    * the sum (a hash-based signature would not be: colliding or
+    * cancelling hash deltas could declare convergence mid-relaxation);
+    * the sum is DECIMAL(38,0) so no distance scale can overflow it.
+    * One metadata-scale agg action per round, the
     * node-cardinality distance relation pinned per round to cut the
     * iterated lineage. Unlike BFS there is no static frontier predicate —
     * a cheaper path can re-relax an already-reached node, so each round
@@ -394,12 +405,13 @@ object GraphOps {
       .select(col("x"), col("y"), expr("1000000 div w").as("c")))
     var dist = pin(edges.select(col("x").as("n")).distinct()
       .select(col("n"), when(col("n").isin(seeds: _*), lit(0L)).as("d")))
-    def signature(df: DataFrame): (Long, Long) = {
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(
         count(col("d")).as("n"),
-        coalesce(sum(hash(col("n"), col("d")).cast("long")), lit(0L)).as("h"))
+        coalesce(sum(col("d").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
         .head()
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getDecimal(1))
     }
     var sig = signature(dist)
     var converged = false
@@ -623,7 +635,10 @@ object GraphOps {
   def ktrussOnEdges(edges: DataFrame, k: Int = 3, maxRounds: Int = 64): DataFrame = {
     def sym(half: DataFrame) =
       half.union(half.select(col("y").as("x"), col("x").as("y")))
-    var half = pin(edges.where(col("x") < col("y")).select(col("x"), col("y")))
+    // input deliberately not re-pinned (the kcoreOnEdges contract): round 1
+    // re-reads the caller's materialized relation a few times, later rounds
+    // read the pinned per-round survivor relation
+    var half = edges.where(col("x") < col("y")).select(col("x"), col("y"))
     var n = half.count()
     var labeled: DataFrame = null
     var round = 0
@@ -634,7 +649,10 @@ object GraphOps {
             coalesce(col("supp"), lit(0L)).as("supp")))
       val next = withSupp.where(col("supp") >= k - 2)
       val m = next.count()
-      if (m == n) labeled = next // fixpoint: supports already counted within it
+      // m == n: fixpoint, supports already counted within it; m == 0: the
+      // empty truss is fully determined — converge now, don't burn a
+      // confirmation round (or the runaway throw at the cap boundary)
+      if (m == n || m == 0L) labeled = next
       else {
         half = next.select(col("x"), col("y")) // filter over the pinned relation
         n = m

@@ -54,6 +54,14 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Eager DISK_ONLY materialization (the [[graft.kg.graph.GraphOps.pin]]
+    * primitive) — shared by the commit/fold paths, which all write or
+    * consume their relations across SEVERAL actions where exchange reuse
+    * cannot reach.
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** Write the dedup state of `corpus` under `stateDir` (parquet subdirs).
     * One collapse + one shingle pass + one signature pass + one capped
     * candidate join + one verify — exactly the from-scratch derivation cost,
@@ -68,8 +76,6 @@ object IncrementalDedup {
     // reuse is impossible for ReuseExchange at ANY size (measured at sf0.1:
     // the un-checkpointed commit re-derived collapse+shingles per action,
     // ~29 s vs ~20 s for the whole dedup_incremental query)
-    def pinned(df: DataFrame): DataFrame =
-      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (rawReps, members0) = Dedup.exactCollapse(corpus)
     val reps = pinned(rawReps)
     val members = members0
@@ -289,8 +295,6 @@ object IncrementalDedup {
       val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
       // pin each increment once: four write actions would otherwise re-run
       // the fold's base-side joins per action (same rationale as commitState)
-      def pinned(df: DataFrame): DataFrame =
-        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val reps = pinned(f.newReps.join(f.newSizes, Seq("rep_id"), "left")
         .select(col("rep_id"), col("text"),
           coalesce(col("n"), lit(0L)).as("n_shingles")))
@@ -322,8 +326,6 @@ object IncrementalDedup {
   private def foldShard(bReps: DataFrame, bBuckets: DataFrame,
       shard: DataFrame, numer: Int, denom: Int, bands: Int, rows: Int,
       maxBucket: Int): ShardFold = {
-    def pinned(df: DataFrame): DataFrame =
-      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // 1. collapse the shard alone, then split its groups by whether the
     // text already exists in base (content-key equi-join — the same sha2
     // identity the collapse itself uses)

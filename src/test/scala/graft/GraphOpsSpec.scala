@@ -149,8 +149,21 @@ class GraphOpsSpec extends SparkTestBase {
       (0 to 5).map(i => (s"v$i", s"v${i + 2}"))
     val symStrip = (strip ++ strip.map(_.swap)).toDF("x", "y")
     assert(GraphOps.ktrussOnEdges(symStrip, k = 4).collect().isEmpty)
+    // peel-to-empty is fully determined and converges EARLY (the empty
+    // truss at round 2 here), never tripping the cap
+    assert(GraphOps.ktrussOnEdges(symStrip, k = 4, maxRounds = 2).collect().isEmpty)
+    // a cap below the cascade depth throws when the result is NOT yet
+    // determined: strip ∪ K4 never empties (the K4 survives), so the
+    // still-shrinking round-2 state must refuse to pose as the truss
+    val k4w = Seq(("w1", "w2"), ("w1", "w3"), ("w1", "w4"), ("w2", "w3"),
+      ("w2", "w4"), ("w3", "w4"))
+    val symMix = ((strip ++ k4w) ++ (strip ++ k4w).map(_.swap)).toDF("x", "y")
+    val mixed = GraphOps.ktrussOnEdges(symMix, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mixed.size === 6 && mixed.values.forall(_ === 2L),
+      "only the K4 should survive the mixed peel")
     val ex = intercept[IllegalStateException] {
-      GraphOps.ktrussOnEdges(symStrip, k = 4, maxRounds = 2).collect()
+      GraphOps.ktrussOnEdges(symMix, k = 4, maxRounds = 2).collect()
     }
     assert(ex.getMessage.contains("not converged"))
     // the full K4 is a genuine 4-truss: all 6 edges, supp 2 within it
