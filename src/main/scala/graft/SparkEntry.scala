@@ -42,6 +42,15 @@ object SparkEntry {
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")), tag = dir))
 
+  /** The WEIGHTED bucketed edge table — same production entry for the
+    * weighted iterated consumers (weighted rank, shortest paths).
+    */
+  private def entityWeightedEdges(s: SparkSession, dir: String): DataFrame =
+    s.table(graft.kg.graph.GraphOps.materializedWeightedEdgeTable(
+      s, Pipeline.allTriples(
+        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+        .select(col("subj"), col("pred"), col("obj")), tag = dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kgQueries ++ OpsEntries.queries
@@ -59,9 +68,10 @@ object SparkEntry {
     val gaz = Pipeline.defaultGazetteers(spark)
     graft.kg.query.TripleStore.materializedTripleTable(
       spark, Pipeline.allTriplesRaw(postings, gaz), tag = dir)
-    graft.kg.graph.GraphOps.materializedEdgeTable(spark,
-      Pipeline.allTriples(postings, gaz)
-        .select(col("subj"), col("pred"), col("obj")), tag = dir)
+    val triples = Pipeline.allTriples(postings, gaz)
+      .select(col("subj"), col("pred"), col("obj"))
+    graft.kg.graph.GraphOps.materializedEdgeTable(spark, triples, tag = dir)
+    graft.kg.graph.GraphOps.materializedWeightedEdgeTable(spark, triples, tag = dir)
     GazetteerIO.materializedSkillsTsv()
     OpsEntries.prestage(spark, dir)
   }
@@ -298,10 +308,8 @@ object SparkEntry {
         .select(col("subj"), col("pred"), col("obj")))),
     // -- weighted shortest paths: converged min-cost from the seed set --
     "kg_entity_wsp" -> ((s, dir) =>
-      graft.kg.graph.GraphOps.shortestPaths(Pipeline.allTriples(
-        SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
-        .select(col("subj"), col("pred"), col("obj")),
-        seeds = Seq("S001", "LANG00"))),
+      graft.kg.graph.GraphOps.shortestPathsOnWeightedEdges(
+        entityWeightedEdges(s, dir), seeds = Seq("S001", "LANG00"))),
     // -- BFS halo: hop distance from the same seed set, radius 4 --
     "kg_entity_bfs" -> ((s, dir) =>
       graft.kg.graph.GraphOps.bfsOnEdges(entityEdges(s, dir),
@@ -311,6 +319,9 @@ object SparkEntry {
       graft.kg.graph.GraphOps.pagerankPersonalizedOnEdges(entityEdges(s, dir),
         seeds = Seq("S001", "LANG00"))),
     "kg_entity_pagerank_weighted" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.pagerankWeightedOnEdges(
+        entityWeightedEdges(s, dir))),
+    "kg_entity_pagerank_weighted_pinned" -> ((s, dir) =>
       graft.kg.graph.GraphOps.pagerankWeighted(Pipeline.allTriples(
         SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
         .select(col("subj"), col("pred"), col("obj")))),
@@ -1322,6 +1333,9 @@ object SparkEntry {
     "kg_entity_kcore" -> entityKcoreOracle,
     "kg_reach_sketch" -> reachSketchOracle,
     "kg_harmonic_centrality" -> harmonicCentralityOracle,
+    // two physical plans, one result: the weighted bucketed-table default
+    // and its in-session pinned contrast share the weighted-rank oracle
+    "kg_entity_pagerank_weighted_pinned" -> entityPagerankWeightedOracle,
     "kg_entity_bfs" -> entityBfsOracle,
     "kg_entity_wsp" -> entityWspOracle,
     "kg_edge_lift" -> edgeLiftOracle,

@@ -136,8 +136,14 @@ object GraphOps {
     * contribution expression to DECIMAL(38,0) on both engine and oracle.
     * Output: (entity, rank_e6).
     */
-  def pagerankWeighted(triples: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = pin(coocEdgesWeighted(triples))
+  def pagerankWeighted(triples: DataFrame, iters: Int = 3): DataFrame =
+    pagerankWeightedOnEdges(pin(coocEdgesWeighted(triples)), iters)
+
+  /** [[pagerankWeighted]] over an already-materialized symmetric weighted
+    * edge relation (x, y, w) — the [[materializedWeightedEdgeTable]]
+    * production entry.
+    */
+  def pagerankWeightedOnEdges(edges: DataFrame, iters: Int = 3): DataFrame = {
     val wdeg = edges.groupBy(col("x")).agg(sum(col("w")).as("wdeg"))
     val ed = edges.join(wdeg, "x")
     val init = wdeg.select(col("x").as("n"), lit(1000000L).as("r"))
@@ -399,10 +405,17 @@ object GraphOps {
     * Output: (entity, dist_e6), seeds at 0, reached entities only.
     */
   def shortestPaths(triples: DataFrame, seeds: Seq[String],
+      maxRounds: Int = 256): DataFrame =
+    shortestPathsOnWeightedEdges(pin(coocEdgesWeighted(triples)), seeds, maxRounds)
+
+  /** [[shortestPaths]] over an already-materialized symmetric weighted
+    * edge relation (x, y, w) — the [[materializedWeightedEdgeTable]]
+    * production entry (hop costs derived from w inside).
+    */
+  def shortestPathsOnWeightedEdges(wEdges: DataFrame, seeds: Seq[String],
       maxRounds: Int = 256): DataFrame = {
     require(seeds.nonEmpty, "shortestPaths needs a seed set")
-    val edges = pin(coocEdgesWeighted(triples)
-      .select(col("x"), col("y"), expr("1000000 div w").as("c")))
+    val edges = wEdges.select(col("x"), col("y"), expr("1000000 div w").as("c"))
     var dist = pin(edges.select(col("x").as("n")).distinct()
       .select(col("n"), when(col("n").isin(seeds: _*), lit(0L)).as("d")))
     def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -492,6 +505,32 @@ object GraphOps {
     val cached = materializedEdgeTbl.getOrElseUpdate(key, build())
     if (spark.catalog.tableExists(cached)) cached
     else { val fresh = build(); materializedEdgeTbl.put(key, fresh); fresh }
+  }
+
+  private val materializedWeightedEdgeTbl =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** [[materializedEdgeTable]] for the WEIGHTED relation (x, y, w) — the
+    * standing table the weighted iterated consumers
+    * ([[pagerankWeightedOnEdges]], [[shortestPathsOnWeightedEdges]]) read;
+    * same bucketed+sorted-by-`x` layout and build-once revalidation.
+    */
+  def materializedWeightedEdgeTable(spark: org.apache.spark.sql.SparkSession,
+      triples: DataFrame, tag: String, buckets: Int = 64): String = {
+    val name = ("graft_cooc_wedges_" + tag + "_b" + buckets)
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cooc-wedges").toString
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      coocEdgesWeighted(triples).repartition(buckets, col("x"))
+        .write.bucketBy(buckets, "x").sortBy("x")
+        .option("path", s"$dir/edges").format("parquet").saveAsTable(name)
+      name
+    }
+    val key = s"$tag/$buckets"
+    val cached = materializedWeightedEdgeTbl.getOrElseUpdate(key, build())
+    if (spark.catalog.tableExists(cached)) cached
+    else { val fresh = build(); materializedWeightedEdgeTbl.put(key, fresh); fresh }
   }
 
   /** Entity COMMUNITIES: connected components over the co-occurrence graph
