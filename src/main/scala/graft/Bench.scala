@@ -21,12 +21,17 @@ object Bench {
     // standing tables at production, and charging them to whichever query
     // ran first made rows incomparable across rounds. Reported separately.
     val tp = System.nanoTime()
-    val prestageSec =
-      try { SparkEntry.prestage(spark, sfDir); (System.nanoTime() - tp) / 1e9 }
+    // failure is an explicit boolean field, NOT a sign flip: the elapsed
+    // time stays positive (so averages/comparisons stay meaningful) and a
+    // failed prestage — after which timed rows silently re-absorb
+    // first-touch artifact builds — is machine-visible in the JSON
+    val prestageOk =
+      try { SparkEntry.prestage(spark, sfDir); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] prestage FAILED: ${e.getMessage}")
-        -(System.nanoTime() - tp) / 1e9
+        false
       }
+    val prestageSec = (System.nanoTime() - tp) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       spark.catalog.clearCache() // queries persist intermediates; isolate timings
       val t0 = System.nanoTime()
@@ -43,7 +48,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""prestage_sec":$prestageSec,"sf":"$sfDir"}""")
+      s""""prestage_sec":$prestageSec,"prestage_ok":$prestageOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

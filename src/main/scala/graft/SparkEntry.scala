@@ -711,9 +711,9 @@ object SparkEntry {
        |${side("obj", 8, "ob")}
        |SELECT s.pred,
        |  CAST(CASE WHEN s.n < 64 THEN s.n
-       |       ELSE (63::HUGEINT * $M) // s.hk END AS BIGINT) AS est_subj,
+       |       ELSE (63::HUGEINT * $M) // greatest(s.hk, 1) END AS BIGINT) AS est_subj,
        |  CAST(CASE WHEN o.n < 8 THEN o.n
-       |       ELSE (7::HUGEINT * $M) // o.hk END AS BIGINT) AS est_obj
+       |       ELSE (7::HUGEINT * $M) // greatest(o.hk, 1) END AS BIGINT) AS est_obj
        |FROM asu s JOIN aob o ON s.pred = o.pred""".stripMargin
   }
 
@@ -960,7 +960,7 @@ object SparkEntry {
          |rk$tag AS (SELECT v, h,
          |       row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM h$tag),
          |q$tag AS (SELECT v, CAST(CASE WHEN n < 8 THEN n
-         |            ELSE (7::HUGEINT * $M) // hk END AS BIGINT) AS est
+         |            ELSE (7::HUGEINT * $M) // greatest(hk, 1) END AS BIGINT) AS est
          |       FROM (SELECT v, count(*) AS n,
          |             max(CASE WHEN rn = 8 THEN h END) AS hk
          |             FROM rk$tag WHERE rn <= 8 GROUP BY 1))""".stripMargin

@@ -64,29 +64,44 @@ object ConnectedComponents {
     * id type — string, long, …).
     * Returns (node, component) for every node incident to an edge, where
     * component = min node of the connected component.
+    *
+    * `maxIter` is a THROWING runaway bound, never a silent truncation (the
+    * kcore/ktruss/WSP discipline): a truncated star forest would silently
+    * under-merge components — at 10^12-row scale that is a wrong dedup
+    * decision with no error. Large-star/small-star needs O(log n) rounds,
+    * so 64 covers any physically storable graph; rounds past convergence
+    * cost nothing (the loop exits at the exact fixpoint).
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    var prevCount = e.count()
     var converged = false
     var iter = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val sigRow = next
-        .agg(count(lit(1)).as("n"),
-          // 32-bit per-edge hash summed into a long: order-insensitive, can't
-          // overflow (ANSI mode) below ~2^33 edges.
-          coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)).as("h"))
-        .head()
-      val sig = (sigRow.getLong(0), sigRow.getLong(1))
-      converged = sig == prevSig
-      prevSig = sig
+      // EXACT set-equality fixpoint test, not a hash signature (a summed
+      // per-edge hash can collide or cancel across a delta and declare
+      // convergence mid-iteration — the unsound genre GraphOps's WSP fix
+      // documents). Both relations are distinct sets, so
+      // |next| == |prev| ∧ next ∖ prev = ∅  ⇔  next = prev, for ANY
+      // orderable id type (CC runs over strings for surface
+      // canonicalization, longs for dedup — a monotone numeric label-sum
+      // would not be type-generic). Cost: one count + one anti-join
+      // emptiness probe per round over edge-set-scale data, O(log n)
+      // rounds total.
+      val cnt = next.count()
+      converged = cnt == prevCount &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      prevCount = cnt
       e = next
       iter += 1
     }
+    require(converged || prevCount == 0L,
+      s"ConnectedComponents not converged after $maxIter rounds — " +
+        "raise maxIter; refusing to return a truncated (under-merged) forest")
     // At the fixed point every edge points child -> component root.
     val members = e.select(col("src").as("node"), col("dst").as("component"))
     val roots = e.select(col("dst").as("node"), col("dst").as("component")).distinct()
@@ -120,7 +135,7 @@ object ConnectedComponents {
     * both contacts with committed state are single equi-joins.
     */
   def incremental(labels: DataFrame, newEdges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 64): DataFrame = {
     val touched = newEdges.select(col("src").as("node"))
       .union(newEdges.select(col("dst").as("node"))).distinct()
     val touchedComps = labels.join(touched, Seq("node"), "left_semi")

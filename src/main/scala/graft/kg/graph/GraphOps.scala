@@ -288,7 +288,7 @@ object GraphOps {
     * hub nodes are ordinary hash-agg groups.
     * Output: (entity, deg_in_core) for k-core members at the fixpoint.
     */
-  def kcore(triples: DataFrame, k: Int = 2, maxRounds: Int = 64): DataFrame =
+  def kcore(triples: DataFrame, k: Int = 2, maxRounds: Int = 1024): DataFrame =
     kcoreOnEdges(pinnedEdges(triples), k, maxRounds)
 
   /** [[kcore]] over an already-materialized symmetric edge relation (the
@@ -299,7 +299,7 @@ object GraphOps {
     * An empty survivor set converges immediately (the empty core is fully
     * determined — it must never trip the runaway throw).
     */
-  def kcoreOnEdges(edges: DataFrame, k: Int = 2, maxRounds: Int = 64): DataFrame = {
+  def kcoreOnEdges(edges: DataFrame, k: Int = 2, maxRounds: Int = 1024): DataFrame = {
     var e = edges.select(col("x"), col("y"))
     var n = e.count()
     var converged = n == 0L
@@ -405,7 +405,7 @@ object GraphOps {
     * Output: (entity, dist_e6), seeds at 0, reached entities only.
     */
   def shortestPaths(triples: DataFrame, seeds: Seq[String],
-      maxRounds: Int = 256): DataFrame =
+      maxRounds: Int = 1024): DataFrame =
     shortestPathsOnWeightedEdges(pin(coocEdgesWeighted(triples)), seeds, maxRounds)
 
   /** [[shortestPaths]] over an already-materialized symmetric weighted
@@ -413,7 +413,7 @@ object GraphOps {
     * production entry (hop costs derived from w inside).
     */
   def shortestPathsOnWeightedEdges(wEdges: DataFrame, seeds: Seq[String],
-      maxRounds: Int = 256): DataFrame = {
+      maxRounds: Int = 1024): DataFrame = {
     require(seeds.nonEmpty, "shortestPaths needs a seed set")
     val edges = wEdges.select(col("x"), col("y"), expr("1000000 div w").as("c"))
     var dist = pin(edges.select(col("x").as("n")).distinct()
@@ -660,7 +660,7 @@ object GraphOps {
     * Output: (x, y, supp) for x < y edges of the truss, supp counted
     * within it.
     */
-  def ktruss(triples: DataFrame, k: Int = 3, maxRounds: Int = 64): DataFrame =
+  def ktruss(triples: DataFrame, k: Int = 3, maxRounds: Int = 1024): DataFrame =
     ktrussOnEdges(pinnedEdges(triples), k, maxRounds)
 
   /** [[ktruss]] over an already-materialized symmetric edge relation.
@@ -671,7 +671,7 @@ object GraphOps {
     * computation per reference (3^rounds plan blow-up; measured 24 s →
     * ~7 s at sf0.1 when pinned).
     */
-  def ktrussOnEdges(edges: DataFrame, k: Int = 3, maxRounds: Int = 64): DataFrame = {
+  def ktrussOnEdges(edges: DataFrame, k: Int = 3, maxRounds: Int = 1024): DataFrame = {
     def sym(half: DataFrame) =
       half.union(half.select(col("y").as("x"), col("x").as("y")))
     // input deliberately not re-pinned (the kcoreOnEdges contract): round 1
@@ -903,21 +903,27 @@ object GraphOps {
   private val M60 = 1152921504606846976L // 2^60, the hash range
 
   /** The KMV estimate of a (node, h) sketch relation as column `name`:
-    * exact count below k, (k−1)·2^60 div h_k at ≥ k.
+    * exact count below k, (k−1)·2^60 div h_k at ≥ k. The divisor is
+    * clamped to ≥ 1 so the estimator is total: a 60-bit hash CAN be 0
+    * (probability 2^-60 per value — adversarial/astronomical, but a
+    * division-by-zero crash is the wrong failure mode for an estimator);
+    * the DuckDB oracles clamp identically.
     */
   private def sketchEstimate(sketch: DataFrame, k: Int, name: String): DataFrame =
     sketch.groupBy(col("node"))
       .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
       .select(col("node"),
         when(col("n") < k, col("n").cast("long")).otherwise(
-          expr(s"cast(${k - 1} as decimal(38,0)) * ${M60}L div hk"))
+          expr(s"cast(${k - 1} as decimal(38,0)) * ${M60}L div greatest(hk, 1L)"))
           .as(name))
 
   /** [[reachSketch]] over an already-materialized symmetric edge relation. */
   def reachSketchOnEdges(edges: DataFrame, radius: Int = 2, k: Int = 8,
-      salts: Int = 16): DataFrame =
+      salts: Int = 16): DataFrame = {
+    require(radius >= 1, s"reachSketch needs radius >= 1 (got $radius)")
     sketchEstimate(sketchRounds(edges, radius, k, salts).last, k, "reach_est")
       .withColumnRenamed("node", "entity")
+  }
 
   /** HARMONIC CENTRALITY estimated from the neighborhood-function profile
     * — HyperBall's headline application (Boldi & Vigna 2013: centrality =
@@ -939,6 +945,7 @@ object GraphOps {
   /** [[harmonicCentrality]] over a materialized symmetric edge relation. */
   def harmonicCentralityOnEdges(edges: DataFrame, radius: Int = 2,
       k: Int = 8, salts: Int = 16): DataFrame = {
+    require(radius >= 1, s"harmonicCentrality needs radius >= 1 (got $radius)")
     val ests = sketchRounds(edges, radius, k, salts).zipWithIndex.map {
       case (s, i) => sketchEstimate(s, k, s"est_r${i + 1}")
     }

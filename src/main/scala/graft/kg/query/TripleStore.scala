@@ -196,14 +196,16 @@ object TripleStore {
 
   /** The estimator over stored sketch state: exact COUNT below k,
     * (k−1)·2^60 div h_k at k (exact integer arithmetic — DECIMAL(38,0)
-    * product, integral divide back to long).
+    * product, integral divide back to long). Divisor clamped to ≥ 1 so a
+    * (2^-60-probability) zero hash degrades the estimate instead of
+    * crashing the query; the DuckDB oracle clamps identically.
     */
   def estimateFromSketches(sketches: DataFrame, kSubj: Int = 64,
       kObj: Int = 8): DataFrame = {
     val M = 1152921504606846976L // 2^60, the hash range
     def est(arr: String, k: Int) =
       when(size(col(arr)) < k, size(col(arr)).cast("long")).otherwise(
-        expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div element_at($arr, $k)"))
+        expr(s"cast(${k - 1} as decimal(38,0)) * ${M}L div greatest(element_at($arr, $k), 1L)"))
     sketches.select(col("pred"), est("ks", kSubj).as("est_subj"),
       est("ko", kObj).as("est_obj"))
   }

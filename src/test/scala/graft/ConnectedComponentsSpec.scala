@@ -47,6 +47,30 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(n, (0 until n - 1).map(i => (i, i + 1)), "path graph")
   }
 
+  test("convergence is exact set equality: stable edge COUNTS never early-stop") {
+    // Adversarial fixture for the signature genre (the WSP-fix discipline):
+    // on a path graph, star contraction keeps the edge count ~stable for
+    // many rounds (each non-root keeps one parent pointer) while the edge
+    // SET keeps changing — a count-only or colliding/cancelling hash-sum
+    // signature declares convergence mid-contraction and returns an
+    // under-merged forest. The exact anti-join check must keep iterating
+    // to the single final component.
+    val n = 400
+    check(n, (0 until n - 1).map(i => (i, i + 1)), "deep path graph")
+  }
+
+  test("low maxIter THROWS rather than silently returning a truncated forest") {
+    val s = spark
+    import s.implicits._
+    val edges = (0 until 199).map(i => (node(i), node(i + 1))).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(edges, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+    // empty input converges trivially (no edges → no rows, no throw)
+    assert(ConnectedComponents.run(edges.limit(0)).collect().isEmpty)
+  }
+
   test("self-loops and duplicate edges are harmless") {
     check(10, Seq((1, 1), (1, 2), (2, 1), (1, 2), (4, 5)), "dup/self edges")
   }
