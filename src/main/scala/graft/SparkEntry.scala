@@ -1247,8 +1247,12 @@ object SparkEntry {
         |         '' AS media_ref
         |  FROM t
         |  UNION ALL
+        |  -- unclosed <li> chunks (i%4=1, i%8=5, no trailing img) terminate
+        |  -- at the NEXT OPEN TAG; their text carries the separator newline
         |  SELECT doc_id, 2 * i, CASE WHEN i % 4 = 1 THEN 'li' ELSE 'p' END,
-        |         array_to_string(ts[i * 8 + 1 : i * 8 + 8], ' '), ''
+        |         array_to_string(ts[i * 8 + 1 : i * 8 + 8], ' ') ||
+        |           CASE WHEN i % 4 = 1 AND i % 8 = 5 AND (doc_id + i) % 3 <> 0
+        |                THEN chr(10) ELSE '' END, ''
         |  FROM (SELECT doc_id, ts, unnest(generate_series(0, nb - 1)) AS i FROM t)
         |  UNION ALL
         |  SELECT doc_id, 2 * i + 1, 'media', '',

@@ -16,12 +16,30 @@ import org.apache.spark.sql.functions._
   * order, and the whole prep scales with the scan (no UDF, no RDD,
   * whole-stage codegen).
   *
-  * Supported markup (the block kinds the extractors consume): paired
-  * `<title|h1|h2|li|p|footer>` elements (attributes tolerated, entities
-  * `&amp; &lt; &gt;` unescaped, inner markup NOT recursed — tag-soup
-  * grade) and void `<img src="…">` elements, which become `media` spans
-  * carrying the src as `media_ref` (the interleaved-payload shape: media
-  * participates in the order invariant, text extractors skip it).
+  * Supported markup (the block kinds the extractors consume):
+  *  - paired `<title|h1|h2|footer>` elements (attributes tolerated,
+  *    entities `&amp; &lt; &gt;` unescaped);
+  *  - `<li>` / `<p>` elements, CLOSED OR NOT: content terminates at the
+  *    matching close tag or at the next block/container tag boundary
+  *    (`<li>a<li>b` and `<ul><li>a</ul>` both yield the spans a real
+  *    parser would — the crawled-HTML pattern where `</li>`/`</p>` is
+  *    routinely omitted);
+  *  - INLINE child markup inside any block is unwrapped to its text:
+  *    `<b>/<i>/<em>/<strong>/<a>/<span>/<u>/<s>/<code>/<small>/<sup>/
+  *    <sub>/<mark>/<abbr>/<br>/<wbr>` tags are stripped
+  *    (`<li>Java <b>required</b></li>` → `Java required`), so real
+  *    emphasis/link markup no longer pollutes extractor input;
+  *  - void `<img src="…">` elements BETWEEN blocks become `media` spans
+  *    carrying the src as `media_ref` (the interleaved-payload shape:
+  *    media participates in the order invariant, text extractors skip
+  *    it). An `<img>` nested INSIDE a block is stripped from the text
+  *    (its src is dropped — the flat span model cannot nest media inside
+  *    a text span).
+  *
+  * Still tag-soup grade, not a DOM: nesting is flattened (a nested block
+  * closes its parent — text AFTER a nested child inside the same parent
+  * is dropped), unknown container tags fall away, and tags are matched
+  * lowercase.
   *
   * [[render]] is the exact inverse on well-formed span tables (escaping
   * mirrors unescaping), which gives the operator its strongest test: for
@@ -34,13 +52,35 @@ import org.apache.spark.sql.functions._
   */
 object HtmlSpans {
 
-  /** One regex alternation over the supported block elements; group order:
-    * (kind, attrs, text | imgSrc). Matches are extracted with group 0 and
-    * re-dissected per fragment, so only ORDER comes from this pattern.
+  /** Tags that TERMINATE an unclosed `<li>`/`<p>`: the emitted block kinds
+    * plus the common container elements a crawled page wraps them in. An
+    * open or close of any of these ends the dangling block's content (the
+    * next-open-tag termination real parsers apply to li/p).
+    */
+  private val Boundary =
+    "title|h[1-6]|li|p|footer|ul|ol|div|section|article|header|nav|aside|" +
+      "table|thead|tbody|tr|td|th|blockquote|pre|form|body|html"
+
+  /** One regex alternation over the supported block elements. Matches are
+    * extracted with group 0 and re-dissected per fragment, so only ORDER
+    * comes from this pattern. li/p content is a tempered dot — any run not
+    * opening/closing a [[Boundary]] tag — followed by an OPTIONAL matching
+    * close, which is what makes unclosed `<li>`/`<p>` terminate at the
+    * next block instead of swallowing it (or falling away entirely).
     */
   private[graft] val FragmentRe =
-    "(?s)<(title|h1|h2|li|p|footer)(\\s[^>]*)?>(.*?)</\\1>|" +
+    "(?s)<(title|h1|h2|footer)(\\s[^>]*)?>(.*?)</\\1\\s*>|" +
+      s"<(li|p)(\\s[^>]*)?>((?:(?!</?(?:$Boundary)[\\s>/]).)*)(?:</\\4\\s*>)?|" +
       "<img\\s[^>]*?src=\"([^\"]*)\"[^>]*?>"
+
+  /** Inline child tags unwrapped to their text inside block content (open,
+    * close, or self-closing, attributes tolerated). Includes `img` so a
+    * media element nested inside a block degrades to "dropped from text"
+    * rather than leaking literal markup into extractor input.
+    */
+  private val InlineRe =
+    "(?is)</?(?:b|i|em|strong|a|span|u|s|code|small|sup|sub|mark|abbr|" +
+      "br|wbr|img)(?:\\s[^>]*)?\\s*/?>"
 
   /** Entity escaping for rendered text ('&' first — the classic order that
     * makes [[unescape]] ('&' last) its exact inverse).
@@ -62,12 +102,21 @@ object HtmlSpans {
     val frags = regexp_extract_all(col("html"), lit(FragmentRe), lit(0))
     html.select(col("doc_id"), transform(frags, (f, i) => {
       val isMedia = f.startsWith("<img")
+      // inner text: open tag to the (now OPTIONAL — unclosed li/p) block
+      // close; inline child tags stripped BEFORE entity unescaping, so
+      // escaped literals like &lt;b&gt; in user text survive as text and
+      // the render round-trip stays the identity
+      // \z, not $: $ would match before a final newline and silently drop
+      // it from unclosed-block content (which legitimately ends in the
+      // separator whitespace preceding the terminating tag)
+      val rawText = regexp_extract(f,
+        "(?s)^<[^>]*>(.*?)(?:</(?:title|h1|h2|li|p|footer)\\s*>)?\\z", 1)
       struct(
         when(isMedia, lit("media"))
           .otherwise(regexp_extract(f, "^<([a-z0-9]+)", 1)).as("kind"),
         when(isMedia, lit(""))
           .otherwise(unescape(
-            regexp_extract(f, "(?s)^<[^>]*>(.*)</[a-z0-9]+>$", 1))).as("text"),
+            regexp_replace(rawText, InlineRe, ""))).as("text"),
         when(isMedia,
           regexp_replace(regexp_replace(
             regexp_extract(f, "src=\"([^\"]*)\"", 1),
@@ -99,6 +148,16 @@ object HtmlSpans {
     * span a closed-form function of (doc_id, text, source), which is what
     * the DuckDB oracle of `kg_html_spans` states directly (the pairing
     * proves [[flatten]] inverts this rendering on the whole corpus).
+    *
+    * Two crawled-HTML irregularities are woven in deterministically so the
+    * corpus-wide oracle also proves the hardened grammar:
+    *  - chunks with i%3==1 wrap their FIRST token in `<b>…</b>` — the
+    *    flattener must unwrap the inline markup to the same text the
+    *    plain rendering would carry;
+    *  - `<li>` chunks with i%8==5 (and no trailing img) OMIT `</li>` —
+    *    next-open-tag termination; their text picks up the separator
+    *    newline that precedes the next tag (stated identically in the
+    *    oracle).
     */
   def htmlCorpus(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
@@ -107,8 +166,17 @@ object HtmlSpans {
     val title = concat(lit("<title>posting "), d.cast("string"), lit("</title>"))
     val chunkFrags = transform(sequence(lit(0), nb - 1), i => {
       val kind = when(i % 4 === 1, lit("li")).otherwise(lit("p"))
-      val body = escape(array_join(slice(tokens, i * 8 + 1, lit(8)), " "))
-      val tagged = concat(lit("<"), kind, lit(">"), body, lit("</"), kind, lit(">"))
+      val first = escape(array_join(slice(tokens, i * 8 + 1, lit(1)), " "))
+      val rest = escape(array_join(slice(tokens, i * 8 + 2, lit(7)), " "))
+      val plain = escape(array_join(slice(tokens, i * 8 + 1, lit(8)), " "))
+      val body = when(i % 3 === 1,
+        concat(lit("<b>"), first, lit("</b>"),
+          when(length(rest) > 0, concat(lit(" "), rest)).otherwise(lit(""))))
+        .otherwise(plain)
+      val unclosedLi = (i % 4 === 1) && (i % 8 === 5) && ((d + i) % 3 =!= 0)
+      val close = when(unclosedLi, lit(""))
+        .otherwise(concat(lit("</"), kind, lit(">")))
+      val tagged = concat(lit("<"), kind, lit(">"), body, close)
       val img = when((d + i) % 3 === 0,
         concat(lit("\n<img src=\"img://"), d.cast("string"), lit("/"),
           i.cast("string"), lit("\">"))).otherwise(lit(""))

@@ -77,7 +77,10 @@ class SpanInvariantSpec extends SparkTestBase {
     // escaper/unescaper pair must round-trip all of them through HTML
     val texts = Seq("", "a < b & c > d", "&amp;lt; literal", "line1\nline2",
       "</p><p>fake close", "quote \" inside", "unicode √ü 中文 🚀",
-      "  leading and trailing  ", "Pensum 80 - 100%")
+      "  leading and trailing  ", "Pensum 80 - 100%",
+      // literal inline-markup text: render escapes it, and flatten must
+      // NOT strip it (inline unwrap runs BEFORE entity unescaping)
+      "<b>bold</b> kept literal", "break<br>tag literal")
     // media refs get the same adversarial treatment: quotes, ampersands,
     // and entity-looking substrings must survive the src="..." attribute
     val refs = Seq("img://plain/0", "img://q?a=1&b=2", "img://quote\"mark",
@@ -98,5 +101,39 @@ class SpanInvariantSpec extends SparkTestBase {
     val p = SyntheticCorpus.postings(spark, "/root/testdata/sf0.001")
     SpanInvariant.enforce(p,
       graft.kg.io.HtmlSpans.flatten(graft.kg.io.HtmlSpans.render(p)))
+  }
+
+  test("HTML on-ramp: inline markup unwraps, unclosed li/p terminate at next tag") {
+    val s = spark
+    import s.implicits._
+    val html = Seq(
+      // inline children unwrapped to their text inside closed blocks
+      ("d1", "<li>Java <b>required</b></li><p>see <a href=\"x\">link</a> now</p>"),
+      // the crawled-list pattern: no </li> anywhere; </ul> terminates the last
+      ("d2", "<ul><li>alpha<li>beta<li>gamma</ul>"),
+      // nested same-tag: an open <p> terminates the dangling one
+      ("d3", "<p>one<p>two</p>"),
+      // unclosed li at end of document keeps its text
+      ("d4", "<li>tail"),
+      // img nested in a block is stripped from text (src dropped — the
+      // flat model can't nest media); a top-level img is a media span
+      ("d5", "<p>before <img src=\"in://x\"> after</p>\n<img src=\"top://y\">"),
+      // unknown wrappers and stray closes fall away; <br> unwraps
+      ("d6", "<div><p>a<br>b</p></div></section>"),
+      // a nested block closes its parent (tag-soup: parent keeps only the
+      // text before the child)
+      ("d7", "<li>head<p>child</p></li>"))
+      .toDF("doc_id", "html")
+    val got = graft.kg.io.HtmlSpans.flatten(html)
+      .select(col("doc_id"), expr(
+        "transform(spans, sp -> concat(sp.kind, '|', sp.text, '|', sp.media_ref))").as("sp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("d1") == List("li|Java required|", "p|see link now|"))
+    assert(got("d2") == List("li|alpha|", "li|beta|", "li|gamma|"))
+    assert(got("d3") == List("p|one|", "p|two|"))
+    assert(got("d4") == List("li|tail|"))
+    assert(got("d5") == List("p|before  after|", "media||top://y"))
+    assert(got("d6") == List("p|ab|"))
+    assert(got("d7") == List("li|head|", "p|child|"))
   }
 }
