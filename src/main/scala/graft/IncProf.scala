@@ -19,9 +19,44 @@ object IncProf {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-job breakdown: wall time + stage count + call site of the last run
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(js.jobId, (System.nanoTime(), js.stageInfos.size,
+          js.stageInfos.map(_.name.takeWhile(_ != '+').trim).distinct.mkString(" | ").take(160)))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, ns, cs) = starts.remove(je.jobId)
+        jobs.add((je.jobId, System.nanoTime() - t0, ns, cs))
+      }
+    })
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long, Long, Int, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for { a <- si.completionTime; b <- si.submissionTime } yield a - b).getOrElse(0L)
+        stages.add((si.stageId, wall, si.taskMetrics.executorRunTime,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          si.numTasks, si.rddInfos.sortBy(_.id)
+            .map(r => r.scope.map(_.name).getOrElse("") + "[" + r.callSite + "]")
+            .distinct.mkString(" > ").take(400)))
+      }
+    })
     def time[T](name: String)(f: => T): T = {
+      jobs.clear(); stages.clear()
       val t0 = System.nanoTime(); val r = f
-      println(f"[incprof] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      println(f"[incprof] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      if (sys.env.contains("INCPROF_JOBS")) {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(_._1).foreach { case (id, wall, run, sr, sw, nt, d) =>
+          if (wall >= 100)
+            println(f"[incprof]    stage $id%4d wall=${wall / 1e3}%6.2f cpu=${run / 1e3}%7.2f tasks=$nt%3d " +
+              f"sRd=${sr / 1e6}%6.1fM sWr=${sw / 1e6}%6.1fM  $d")
+        }
+      }
+      r
     }
     val corpus = Dedup.derivedCorpus(
       spark.read.parquet(s"$sfDir/documents.parquet"))

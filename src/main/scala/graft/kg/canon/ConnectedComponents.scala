@@ -77,7 +77,6 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var prevCount = e.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -85,21 +84,20 @@ object ConnectedComponents {
       // EXACT set-equality fixpoint test, not a hash signature (a summed
       // per-edge hash can collide or cancel across a delta and declare
       // convergence mid-iteration — the unsound genre GraphOps's WSP fix
-      // documents). Both relations are distinct sets, so
-      // |next| == |prev| ∧ next ∖ prev = ∅  ⇔  next = prev, for ANY
-      // orderable id type (CC runs over strings for surface
-      // canonicalization, longs for dedup — a monotone numeric label-sum
-      // would not be type-generic). Cost: one count + one anti-join
-      // emptiness probe per round over edge-set-scale data, O(log n)
-      // rounds total.
-      val cnt = next.count()
-      converged = cnt == prevCount &&
-        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
-      prevCount = cnt
+      // documents). Both relations are distinct sets, so a full-outer
+      // join with no one-sided row ⇔ next = prev, for ANY orderable id
+      // type (CC runs over strings for surface canonicalization, longs
+      // for dedup — a monotone numeric label-sum would not be
+      // type-generic). Cost: ONE emptiness probe per round over the two
+      // checkpointed edge sets, O(log n) rounds total.
+      converged = next.withColumn("l", lit(1))
+        .join(e.withColumn("r", lit(1)), Seq("src", "dst"), "full_outer")
+        .where(col("l").isNull || col("r").isNull)
+        .isEmpty
       e = next
       iter += 1
     }
-    require(converged || prevCount == 0L,
+    require(converged,
       s"ConnectedComponents not converged after $maxIter rounds — " +
         "raise maxIter; refusing to return a truncated (under-merged) forest")
     // At the fixed point every edge points child -> component root.

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * Committed STATE ([[commitState]], one parquet table per relation — at
   * deployment these are the Iceberg tables the signature store already
   * maintains):
-  *   - `reps/`    (rep_id, text, n_shingles) — one row per distinct text
+  *   - `reps/`    (rep_id, text, gh, n_shingles) — one row per distinct text
   *   - `members/` (doc_id, rep_id) — exact-group membership
   *   - `buckets/` (rep_id, band, bucket) — the LSH signature index
   *   - `pairs/`   (a, b) — the VERIFIED rep-level near-dup pair graph
+  *   - `comps/`   (node, component) — the COMMITTED connected components of
+  *     the pair graph (base generation only; increments append pairs, and
+  *     readers fold them in via [[graft.kg.canon.ConnectedComponents.incremental]])
   *
   * Incremental step ([[incrementalClusters]]):
   *   1. exact-collapse the shard alone; shard groups whose text already
@@ -29,11 +32,15 @@ import org.apache.spark.sql.functions._
   *      verification shingles base texts ONLY for the reps that are
   *      candidates with a new doc (semi-join on the candidate ids; proven
   *      behaviorally by OpsSpec's corrupted-state test).
-  *   3. connected components run over stored pairs ∪ new pairs (the same
-  *      metadata-scale rep-level graph as from-scratch), and every doc's
-  *      keeper is the minimum doc_id of its cluster — computed from the
-  *      member relation, so a shard doc with a smaller id than its group's
-  *      committed rep correctly takes over as keeper.
+  *   3. the cluster decision folds INCREMENTALLY too: committed component
+  *      labels (`comps/`) pass through untouched, and only components
+  *      touched by a not-yet-compacted or new pair re-enter the CC
+  *      iterations ([[graft.kg.canon.ConnectedComponents.incremental]] —
+  *      the iterated subgraph is pair-delta-neighborhood-sized, never the
+  *      full rep pair graph, which at 100 TB is corpus-rep-scale). Every
+  *      doc's keeper is the minimum doc_id of its cluster — computed from
+  *      the member relation, so a shard doc with a smaller id than its
+  *      group's committed rep correctly takes over as keeper.
   *
   * Deployment shape notes: (a) the stored `buckets/` table should be
   * table-partitioned/bucketed by (band, bucket) so the shard's candidate
@@ -81,18 +88,50 @@ object IncrementalDedup {
     val members = members0
     val sh = pinned(shinglesOf(reps))
     val sizes = Dedup.repShingleSizes(sh)
+    // gh (the sha2 content key) is STORED: the shard fold's attach join
+    // then reads only (rep_id, gh) — no per-fold re-hash of the committed
+    // corpus and, more importantly at 100 TB, no scan of the wide `text`
+    // column just to recompute a key the commit already derived.
+    //
+    // Each relation is REPARTITIONED by its fold-side access key before the
+    // write. Without it AQE coalesces these writes to one file with one
+    // row group, and parquet cannot split a row group — every per-fold
+    // probe scan (content-key attach, touched-bucket semi, candidate
+    // shingling) then runs on ONE task no matter the cluster size
+    // (measured: two single-task 3 s scan stages on the sf0.1 fold's
+    // critical path). At deployment this is exactly the bucketed-table
+    // layout the class doc prescribes; key-clustering also means a
+    // fold's probe touches only matching files' row groups.
+    // explicit partition count: an expression-only repartition is still
+    // AQE-coalescible on small inputs, which would silently restore the
+    // one-row-group layout
+    val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     reps.join(sizes, Seq("rep_id"), "left")
       .select(col("rep_id"), col("text"),
+        Dedup.contentKey(col("text")).as("gh"),
         coalesce(col("n"), lit(0L)).as("n_shingles"))
+      .repartition(np, col("rep_id"))
       .write.mode("overwrite").parquet(s"$stateDir/reps")
-    members.write.mode("overwrite").parquet(s"$stateDir/members")
+    members.repartition(np, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/members")
     val buckets = Dedup.bandBuckets(sh, bands, rows, portable = false)
       .withColumnRenamed("doc_id", "rep_id")
-    buckets.write.mode("overwrite").parquet(s"$stateDir/buckets")
+    buckets.repartition(np, col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$stateDir/buckets")
     val cands = Dedup.lshCandidates(sh, bands, rows, portable = false, maxBucket)
-    Dedup.verifyJaccard(cands, sh, numer, denom)
-      .select(col("a"), col("b"))
+    val pairs = pinned(Dedup.verifyJaccard(cands, sh, numer, denom)
+      .select(col("a"), col("b")))
+    pairs.repartition(np, col("a"))
       .write.mode("overwrite").parquet(s"$stateDir/pairs")
+    // the committed COMPONENT LABELS of the pair graph: paid once here so
+    // per-fold decisions touch only label stars the pair delta reaches
+    // (ConnectedComponents.incremental), instead of re-clustering the
+    // full rep pair graph every fold. Written LAST — materializedState's
+    // validity probe keys on it
+    graft.kg.canon.ConnectedComponents
+      .run(pairs.select(col("a").as("src"), col("b").as("dst")))
+      .repartition(np, col("node"))
+      .write.mode("overwrite").parquet(s"$stateDir/comps")
   }
 
   private def shinglesOf(reps: DataFrame): DataFrame =
@@ -170,11 +209,31 @@ object IncrementalDedup {
     (rel("reps"), rel("members"), rel("buckets"), rel("pairs"))
   }
 
+  /** The pairs of exactly `committed` increments (empty, with the pair
+    * schema, when there are none) — the CC delta readers fold into the
+    * committed component labels.
+    */
+  private def incrementPairsOf(spark: SparkSession, base: String,
+      committed: Seq[java.nio.file.Path]): DataFrame =
+    committed.map(d => spark.read.parquet(s"$d/pairs"))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.read.parquet(s"$base/pairs").limit(0))
+
+  /** Everything a reader needs: the four union relations, plus the CC
+    * split — committed base labels and the not-yet-compacted pair delta.
+    */
+  private final case class State(reps: DataFrame, members: DataFrame,
+      buckets: DataFrame, comps: DataFrame, incPairs: DataFrame)
+
   private def stateRelations(spark: SparkSession, stateDir: String,
-      asOf: Option[String] = None)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    relationsOf(spark, baseRoot(stateDir),
-      visibleIncrements(stateDir, foldedTagsOf(stateDir), asOf))
+      asOf: Option[String] = None): State = {
+    val base = baseRoot(stateDir)
+    val committed = visibleIncrements(stateDir, foldedTagsOf(stateDir), asOf)
+    val (reps, members, buckets, _) = relationsOf(spark, base, committed)
+    State(reps, members, buckets,
+      spark.read.parquet(s"$base/comps"),
+      incrementPairsOf(spark, base, committed))
+  }
 
   /** COMPACTION — fold every committed increment into one new base
     * generation (the Iceberg rewrite-data-files analog for this state
@@ -212,6 +271,13 @@ object IncrementalDedup {
     // separate re-listing could silently drop a racing commit's data
     val folded = visibleIncrements(stateDir, prevFolded)
     val (reps, members, buckets, pairs) = relationsOf(spark, oldBase, folded)
+    // component labels fold INCREMENTALLY: untouched committed labels pass
+    // through; only components the folded increments' pairs touch re-enter
+    // CC — the compaction analog of the per-fold decision path
+    val comps = graft.kg.canon.ConnectedComponents.incremental(
+      spark.read.parquet(s"$oldBase/comps"),
+      incrementPairsOf(spark, oldBase, folded)
+        .select(col("a").as("src"), col("b").as("dst")))
     // next generation = 1 + the highest gen-<k> index present on disk (live
     // pointer target or crashed leftovers) — NEVER a count of gen dirs:
     // after compact #2 deletes gen-1, a count would re-derive "gen-2" and
@@ -227,9 +293,10 @@ object IncrementalDedup {
     }
     val gen = s"gen-${genIdx + 1}"
     Seq("reps" -> reps, "members" -> members,
-      "buckets" -> buckets, "pairs" -> pairs).foreach { case (sub, df) =>
-      df.write.mode("overwrite").parquet(s"$stateDir/$gen/$sub")
-    }
+      "buckets" -> buckets, "pairs" -> pairs, "comps" -> comps)
+      .foreach { case (sub, df) =>
+        df.write.mode("overwrite").parquet(s"$stateDir/$gen/$sub")
+      }
     // record the retired tags INSIDE the generation before it goes live:
     // readers resolving this generation skip those increments even if a
     // crash leaves their directories behind (no double counting). The list
@@ -259,7 +326,7 @@ object IncrementalDedup {
       .filter(p => prevFolded.contains(p.getFileName.toString))
       .foreach(rmTree)
     if (oldBase != stateDir) rmTree(Paths.get(oldBase))
-    else Seq("reps", "members", "buckets", "pairs")
+    else Seq("reps", "members", "buckets", "pairs", "comps")
       .foreach(sub => rmTree(Paths.get(stateDir, sub)))
   }
 
@@ -291,12 +358,12 @@ object IncrementalDedup {
     // retry racing a compaction can never resurrect or double a shard
     if (!Files.exists(incDir.resolve("_COMMITTED")) &&
         !foldedTagsOf(stateDir).contains(shardTag)) {
-      val (bReps, _, bBuckets, _) = stateRelations(spark, stateDir)
-      val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
+      val st = stateRelations(spark, stateDir)
+      val f = foldShard(st.reps, st.buckets, shard, numer, denom, bands, rows, maxBucket)
       // pin each increment once: four write actions would otherwise re-run
       // the fold's base-side joins per action (same rationale as commitState)
       val reps = pinned(f.newReps.join(f.newSizes, Seq("rep_id"), "left")
-        .select(col("rep_id"), col("text"),
+        .select(col("rep_id"), col("text"), col("gh"),
           coalesce(col("n"), lit(0L)).as("n_shingles")))
       val members = pinned(f.matchedMembers.unionByName(f.newMembers))
       val buckets = pinned(f.newBuckets)
@@ -327,55 +394,98 @@ object IncrementalDedup {
       shard: DataFrame, numer: Int, denom: Int, bands: Int, rows: Int,
       maxBucket: Int): ShardFold = {
     // 1. collapse the shard alone, then split its groups by whether the
-    // text already exists in base (content-key equi-join — the same sha2
-    // identity the collapse itself uses)
+    // text already exists in base (content-key equi-join against the
+    // STORED gh column — the base side reads two narrow columns, never
+    // re-hashes and never scans `text` here). The shard side of the
+    // attach is BROADCAST: state-side relations stay map-side, so the
+    // committed corpus is never shuffled by this join. Contract: a fold's
+    // shard must be broadcast-sized (distinct-text keys only — ~50 B/key);
+    // a jumbo backfill that isn't should be split into several folds, the
+    // same way it would be split into commit batches anyway.
     val (sReps0, sMembers0) = Dedup.exactCollapse(shard)
-    // shard-sized, each consumed by 2-4 downstream branches that execute
-    // across SEPARATE actions (the CC checkpoint, then the decision/write
-    // actions) — without the pins the collapse and the shingle pass re-run
-    // per action (measured at sf0.1: incrementalClusters 18.8 s -> see
-    // optimization log)
+    // sReps is consumed by BOTH downstream actions (the CC checkpoint via
+    // the pair chain, then the final decision action) — pin it once.
+    // sMembers is only read by the single final action (member union), so
+    // it stays lazy: one shard-sized recompute beats an eager job.
     val sReps = pinned(sReps0)
-    val sMembers = pinned(sMembers0)
+    val sMembers = sMembers0
     val sKeyed = sReps.withColumn("gh", Dedup.contentKey(col("text")))
-    val bKeyed = bReps.select(col("rep_id").as("b_rep"), col("n_shingles"),
-      Dedup.contentKey(col("text")).as("gh"))
-    val matched = sKeyed.join(bKeyed, "gh")
-      .select(col("rep_id").as("s_rep"), col("b_rep"))
+    val bKeyed = bReps.select(col("rep_id").as("b_rep"), col("gh"))
+    // matched is metadata-scale but DERIVED from a base-reps scan; it feeds
+    // three consumers across separate actions (member attach, new-rep anti
+    // join, decision tail) and each un-pinned broadcast rebuild would
+    // re-scan the committed reps — pin it so the base is scanned ONCE here
+    val matched = pinned(bKeyed
+      .join(broadcast(sKeyed.select(col("gh"), col("rep_id").as("s_rep"))), "gh")
+      .select(col("s_rep"), col("b_rep")))
     // shard members of a matched group become members of the EXISTING rep
     val matchedMembers = sMembers
-      .join(matched.withColumnRenamed("s_rep", "rep_id"), "rep_id")
+      .join(broadcast(matched.withColumnRenamed("s_rep", "rep_id")), "rep_id")
       .select(col("doc_id"), col("b_rep").as("rep_id"))
-    val newReps = sKeyed.join(matched.select(col("s_rep").as("rep_id")),
-      Seq("rep_id"), "left_anti").select(col("rep_id"), col("text"))
-    val newMembers = sMembers.join(newReps.select("rep_id"), Seq("rep_id"), "left_semi")
+    // pinned for the same reason: consumed by the shingle chain, the member
+    // semi join, the decision's size relation, and the state write
+    val newReps = pinned(sKeyed.join(
+      broadcast(matched.select(col("s_rep").as("rep_id"))),
+      Seq("rep_id"), "left_anti").select(col("rep_id"), col("text"), col("gh")))
+    val newMembers = sMembers.join(broadcast(newReps.select("rep_id")),
+      Seq("rep_id"), "left_semi")
 
-    // 2. signatures + candidates for NEW texts only; the band join runs
-    // against stored ∪ new buckets, keeping only pairs with a new side
-    val newSh = pinned(shinglesOf(newReps))
+    // 2. signatures + candidates for NEW texts only. The stored bucket
+    // index is probed, not shuffled: only buckets TOUCHED by a shard rep
+    // can produce a candidate (every candidate needs a new side), so the
+    // base side is a broadcast semi-join on the shard's (band, bucket)
+    // keys and everything after — the hot-bucket cap's window count and
+    // the candidate join — runs over the shard-NEIGHBORHOOD-sized touched
+    // set. Cap semantics are unchanged: bucket size is still counted over
+    // stored ∪ new membership (within touched buckets; untouched buckets
+    // can produce no candidate under any cap).
+    // pins below are repartitioned to the session's shuffle parallelism
+    // first: AQE coalesces their small exchanges to ONE partition, and a
+    // 1-partition checkpoint serializes every CPU-dense consumer stage
+    // downstream (measured: a 2.6 s single-task map over the 1-partition
+    // bucket pin on the sf0.1 critical path)
+    val np = bReps.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val newSh = pinned(shinglesOf(newReps).repartition(np, col("doc_id")))
     val newSizes = Dedup.repShingleSizes(newSh)
-    val newBuckets = Dedup.bandBuckets(newSh, bands, rows, portable = false)
+    // pinned: the signature derivation (32 hashes per shingle — the
+    // chain's most CPU-dense stage) otherwise materializes TWICE, once
+    // under the broadcast-key future and once for the candidate join
+    // (measured: two identical 2.3 s-CPU stages at sf0.1). Same pattern
+    // for cands (feeds the verify probe AND the candIds broadcast) and
+    // verifySh (read by both verify join sides + the size agg, where an
+    // AQE-coalesced exchange defeats ReuseExchange) — every fan-out point
+    // of the chain is materialized exactly once.
+    val newBuckets = pinned(Dedup.bandBuckets(newSh, bands, rows, portable = false)
       .withColumnRenamed("doc_id", "rep_id")
-    val allBuckets = Dedup.cappedBuckets(
-      bBuckets.withColumn("is_new", lit(false))
-        .unionByName(newBuckets.withColumn("is_new", lit(true))),
-      maxBucket)
-    val cands = allBuckets.as("x").join(allBuckets.as("y"),
+      .repartition(np, col("band"), col("bucket")))
+    val touched = bBuckets.withColumn("is_new", lit(false))
+      .join(broadcast(newBuckets.select("band", "bucket").distinct()),
+        Seq("band", "bucket"), "left_semi")
+      .unionByName(newBuckets.withColumn("is_new", lit(true)))
+    val capped = Dedup.cappedBuckets(touched, maxBucket)
+    val cands = pinned(capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.rep_id") < col("y.rep_id") &&
           (col("x.is_new") || col("y.is_new")))
       .select(col("x.rep_id").as("a"), col("y.rep_id").as("b"))
       .distinct()
+      .repartition(np, col("a")))
     // verify needs shingle sets for both sides: new reps have them already;
     // base reps are shingled ONLY if they are candidates (semi-join) — the
     // base corpus is never re-derived wholesale
     val candIds = cands.select(col("a").as("rep_id"))
       .unionByName(cands.select(col("b").as("rep_id"))).distinct()
     val baseCandSh = shinglesOf(
-      bReps.join(candIds, Seq("rep_id"), "left_semi").select("rep_id", "text"))
-    val verifySh = newSh.unionByName(baseCandSh)
-    val newPairs = Dedup.verifyJaccard(cands, verifySh, numer, denom)
-      .select(col("a"), col("b"))
+      bReps.join(broadcast(candIds), Seq("rep_id"), "left_semi")
+        .select("rep_id", "text"))
+    val verifySh = pinned(newSh.unionByName(baseCandSh))
+    // pinned: the incremental-CC consumer reads the pair delta in two
+    // actions (the touched-component resolution inside the iterations and
+    // the untouched-label passthrough in the decision action) — unpinned,
+    // each would re-run the whole verify chain
+    val newPairs = pinned(Dedup.verifyJaccard(cands, verifySh, numer, denom)
+      .select(col("a"), col("b")))
     ShardFold(matchedMembers, newReps, newMembers, newSizes, newBuckets, newPairs)
   }
 
@@ -387,24 +497,25 @@ object IncrementalDedup {
   def incrementalClusters(spark: SparkSession, stateDir: String,
       shard: DataFrame, numer: Int = 1, denom: Int = 2, bands: Int = 32,
       rows: Int = 1, maxBucket: Int = 1000): DataFrame = {
-    val (bReps, bMembers, bBuckets, bPairs) = stateRelations(spark, stateDir)
-    val f = foldShard(bReps, bBuckets, shard, numer, denom, bands, rows, maxBucket)
-    val matchedMembers = f.matchedMembers
-    val newReps = f.newReps
-    val newMembers = f.newMembers
-    val newSizes = f.newSizes
-    val newPairs = f.newPairs
+    val st = stateRelations(spark, stateDir)
+    val f = foldShard(st.reps, st.buckets, shard, numer, denom, bands, rows, maxBucket)
 
-    // 3. CC over the stored ∪ new pair graph; keeper = min member doc_id of
-    // the cluster (NOT the stored rep id — a smaller-id shard doc in a
-    // matched group must take over as keeper, matching from-scratch)
+    // 3. INCREMENTAL CC: committed labels pass through; only components
+    // touched by the pair DELTA (not-yet-compacted increments + this
+    // shard's new pairs) re-enter the iterations. Identical decision to
+    // from-scratch by the ConnectedComponents.incremental identity —
+    // incremental(run(B), S) = run(B ∪ S) — and the keeper is still the
+    // min member doc_id of the cluster (NOT the stored rep id — a
+    // smaller-id shard doc in a matched group must take over, matching
+    // from-scratch).
     val comps = graft.kg.canon.ConnectedComponents
-      .run(bPairs.unionByName(newPairs)
-        .select(col("a").as("src"), col("b").as("dst")))
+      .incremental(st.comps,
+        st.incPairs.unionByName(f.newPairs)
+          .select(col("a").as("src"), col("b").as("dst")))
       .select(col("node").as("rep_id"), col("component"))
-    val allMembers = bMembers.unionByName(matchedMembers).unionByName(newMembers)
-    val repN = bReps.select(col("rep_id"), col("n_shingles"))
-      .unionByName(newReps.join(newSizes, Seq("rep_id"), "left")
+    val allMembers = st.members.unionByName(f.matchedMembers).unionByName(f.newMembers)
+    val repN = st.reps.select(col("rep_id"), col("n_shingles"))
+      .unionByName(f.newReps.join(f.newSizes, Seq("rep_id"), "left")
         .select(col("rep_id"), coalesce(col("n"), lit(0L)).as("n_shingles")))
     decide(allMembers, repN, comps)
   }
@@ -444,15 +555,16 @@ object IncrementalDedup {
     */
   def decisionAsOf(spark: SparkSession, stateDir: String,
       asOf: Option[String] = None): DataFrame = {
-    val (reps, members, _, pairs) = stateRelations(spark, stateDir, asOf)
+    val st = stateRelations(spark, stateDir, asOf)
     val comps = graft.kg.canon.ConnectedComponents
-      .run(pairs.select(col("a").as("src"), col("b").as("dst")))
+      .incremental(st.comps,
+        st.incPairs.select(col("a").as("src"), col("b").as("dst")))
       .select(col("node").as("rep_id"), col("component"))
-    decide(members, reps.select(col("rep_id"), col("n_shingles")), comps)
+    decide(st.members, st.reps.select(col("rep_id"), col("n_shingles")), comps)
   }
 
   /** Bump when the state layout or mechanics change. */
-  val StateVersion: Int = 1
+  val StateVersion: Int = 2
 
   private val materializedStates = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -463,7 +575,7 @@ object IncrementalDedup {
     */
   def materializedState(spark: SparkSession, base: DataFrame, tag: String): String = {
     def valid(dir: String): Boolean =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "pairs", "_SUCCESS"))
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "comps", "_SUCCESS"))
     def build(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft-dedup-state").toString
       commitState(spark, base, dir)

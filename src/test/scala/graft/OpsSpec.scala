@@ -615,13 +615,26 @@ class OpsSpec extends SparkTestBase {
     // redone (stray band collisions may shingle a corrupted candidate text,
     // but its verify then drops exactly as the intact J<0.5 pair would)
     val dir2 = Files.createTempDirectory("graft-inc-corrupt").toString
-    for (sub <- Seq("members", "buckets", "pairs"))
+    for (sub <- Seq("members", "buckets", "pairs", "comps"))
       spark.read.parquet(s"$dir/$sub").write.parquet(s"$dir2/$sub")
     spark.read.parquet(s"$dir/reps")
       .withColumn("text", concat(lit("zz"), col("rep_id").cast("string")))
       .write.parquet(s"$dir2/reps")
     val corrupted = rows(IncrementalDedup.incrementalClusters(spark, dir2, shard))
     assert(corrupted == intact)
+    // and the COMMITTED COMPONENT LABELS are consumed from state, never
+    // re-derived from the committed pair graph: plant a label state
+    // from-scratch CC could never produce (every rep in one component) and
+    // the decision must FOLLOW the corruption — the untouched-label
+    // passthrough of the incremental CC path, observed end to end
+    val dir3 = Files.createTempDirectory("graft-inc-comps").toString
+    for (sub <- Seq("members", "buckets", "pairs", "reps"))
+      spark.read.parquet(s"$dir/$sub").write.parquet(s"$dir3/$sub")
+    spark.read.parquet(s"$dir/comps")
+      .withColumn("component", lit(-1L))
+      .write.parquet(s"$dir3/comps")
+    val planted = rows(IncrementalDedup.incrementalClusters(spark, dir3, shard))
+    assert(planted != intact)
   }
 
   test("exact dedup flags exactly the planted copies") {
