@@ -376,6 +376,20 @@ object SparkEntry {
           .select(col("subj"), col("pred"), col("obj")),
         pred = "requiresSkill",
         vocab = graft.kg.io.Dictionaries.gazSkills.map(_.entity_id).distinct.sorted)),
+    // -- head-corruption half of the Bordes protocol: the subject domain is
+    // corpus-scale (doc ids 0..n-1), so the vocabulary is a spark.range
+    // DataFrame joined by index — never driver state (one scalar count)
+    "kg_negative_samples_subj" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      graft.kg.train.EmbeddingData.negativeSamplesSubject(
+        Pipeline.allTriples(
+          SyntheticCorpus.materializedPostings(s, dir), Pipeline.defaultGazetteers(s))
+          .select(col("subj"), col("pred"), col("obj")),
+        pred = "requiresSkill",
+        subjVocab = s.range(n).select(col("id").as("vi"),
+          col("id").cast("string").as("v")),
+        nVocab = n)
+    }),
     // -- DeepWalk-style corpus: 2 deterministic hash-argmin walks per entity
     "kg_random_walks" -> ((s, dir) =>
       graft.kg.graph.GraphOps.randomWalksOnEdges(entityEdges(s, dir),
@@ -1126,6 +1140,26 @@ object SparkEntry {
        |$negFilteredCtes
        |SELECT subj, pred, obj, obj_neg, neg_i FROM negs""".stripMargin
 
+  /** Bit-exact vs EmbeddingData.negativeSamplesSubject: same md5-60
+    * corruption discipline with the 's' side tag, index mod the document
+    * count, head filter = NOT EXISTS on (subj_neg, obj).
+    */
+  private val negativeSamplesSubjOracle: String = {
+    val h = OpsEntries.duckHash60(
+      "subj || '|' || obj || '|' || CAST(j AS VARCHAR) || '|s'")
+    s"""WITH triples AS ($allTriplesOracle),
+       |pos AS (SELECT subj, pred, obj FROM triples WHERE pred = 'requiresSkill'),
+       |cand AS (
+       |  SELECT subj, pred, obj, CAST(j AS BIGINT) AS neg_i,
+       |    CAST($h % (SELECT count(*) FROM documents) AS VARCHAR) AS subj_neg
+       |  FROM (SELECT subj, pred, obj, unnest(generate_series(0, 1)) AS j FROM pos)
+       |)
+       |SELECT c.subj, c.pred, c.obj, c.subj_neg, c.neg_i
+       |FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM pos p
+       |                  WHERE p.subj = c.subj_neg AND p.obj = c.obj)""".stripMargin
+  }
+
   /** Triple-level P/R/F1 of the deterministically-degraded predictor
     * (hash-dropped 10% false negatives + the negative sampler's
     * guaranteed-false positives) against the closed-form gold — the
@@ -1375,6 +1409,7 @@ object SparkEntry {
     "kg_entailed_triples" -> entailedTriplesOracle,
     "kg_entity_lpa" -> entityLpaOracle,
     "kg_negative_samples" -> negativeSamplesOracle,
+    "kg_negative_samples_subj" -> negativeSamplesSubjOracle,
     "kg_eval_pr" -> evalPrOracle,
     "kg_random_walks" -> randomWalksOracle,
     "kg_walk_pairs" -> walkPairsOracle,

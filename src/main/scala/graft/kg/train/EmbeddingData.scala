@@ -61,6 +61,39 @@ object EmbeddingData {
       .select(col("subj"), col("pred"), col("obj"), col("obj_neg"), col("neg_i"))
   }
 
+  /** SUBJECT-side (head) corruption — the other half of Bordes et al.'s
+    * protocol (corrupt head OR tail; [[negativeSamples]] is the tail
+    * half). Head domains (docs/entities) are corpus-scale, so unlike the
+    * metadata-scale object vocabularies the head vocabulary is a
+    * DATAFRAME `(vi, v)` indexed 0..nVocab-1, never driver state: the
+    * corruption index reaches it through one equi-join (broadcast under
+    * the planner's threshold, shuffle join past it — the numbered-entity-
+    * table shape the [[negativeSamples]] doc prescribes for open
+    * domains). The hash input carries an 's' tag so head and tail
+    * candidates of the same (s, o, j) never correlate. Filter: a
+    * candidate (s', p, o) that is itself a true triple drops via ONE
+    * left-anti equi-join on (subj_neg, obj).
+    * Output: (subj, pred, obj, subj_neg, neg_i).
+    */
+  def negativeSamplesSubject(triples: DataFrame, pred: String,
+      subjVocab: DataFrame, nVocab: Long, k: Int = 2): DataFrame = {
+    val pos = triples.where(col("pred") === pred)
+      .select(col("subj"), col("pred"), col("obj"))
+    val cand = pos
+      .select(col("subj"), col("pred"), col("obj"),
+        expr(s"explode(sequence(0L, ${k - 1}L))").as("neg_i"))
+      .withColumn("vi",
+        pmod(hash60(concat_ws("|",
+          col("subj"), col("obj"), col("neg_i"), lit("s"))), lit(nVocab)))
+      .join(subjVocab, "vi")
+      .select(col("subj"), col("pred"), col("obj"),
+        col("v").as("subj_neg"), col("neg_i"))
+    cand.join(pos.select(col("subj").as("subj_neg"), col("obj")),
+        Seq("subj_neg", "obj"), "left_anti")
+      .select(col("subj"), col("pred"), col("obj"),
+        col("subj_neg"), col("neg_i"))
+  }
+
   /** Skip-gram pair counts from a walk corpus — the step between
     * [[graft.kg.graph.GraphOps.randomWalks]] and a word2vec-style entity
     * embedding trainer (Mikolov et al. 2013): every ordered (center,

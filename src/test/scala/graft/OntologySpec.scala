@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.kg.query.Ontology
 import graft.kg.train.EmbeddingData
 
@@ -74,6 +76,35 @@ class OntologySpec extends SparkTestBase {
     assert(neg.forall(r => r._5 >= 0L && r._5 < 4L))
     val perPositive = neg.groupBy(r => (r._1, r._3)).view.mapValues(_.length)
     assert(perPositive.values.forall(_ <= 4))
+  }
+
+  test("negativeSamplesSubject: head corruption, filtered, decorrelated from tails") {
+    import spark.implicits._
+    val t = Seq(("1", "p", "A"), ("2", "p", "A"), ("3", "p", "B"))
+      .toDF("subj", "pred", "obj")
+    // head vocabulary as an indexed relation (the corpus-scale shape)
+    val vocab = spark.range(4).select(col("id").as("vi"),
+      col("id").cast("string").as("v")) // heads "0".."3"
+    def run() = EmbeddingData
+      .negativeSamplesSubject(t, "p", vocab, nVocab = 4L, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val neg = run()
+    assert(neg.toSet === run().toSet) // deterministic
+    // the FILTER: no emitted (subj_neg, obj) is a true head-tail pair
+    val truePairs = Set(("1", "A"), ("2", "A"), ("3", "B"))
+    neg.foreach { case (_, _, o, sn, _) =>
+      assert(!truePairs.contains((sn, o)), s"unfiltered head negative ($sn, $o)")
+    }
+    assert(neg.nonEmpty && neg.forall(r => r._5 >= 0L && r._5 < 4L))
+    // decorrelation from the tail half: the 's'-tagged hash must not
+    // reproduce the object-side corruption index for the same (s, o, j)
+    val tails = EmbeddingData
+      .negativeSamples(t, "p", Seq("0", "1", "2", "3"), k = 4).collect()
+      .map(r => ((r.getString(0), r.getString(2), r.getLong(4)), r.getString(3)))
+      .toMap
+    val heads = neg.map(r => ((r._1, r._3, r._5), r._4)).toMap
+    assert(heads.keySet.intersect(tails.keySet).exists(k0 => heads(k0) != tails(k0)))
   }
 
   test("triplePR: hand-computed per-predicate precision/recall/F1") {
