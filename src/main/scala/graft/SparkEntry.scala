@@ -36,6 +36,23 @@ object SparkEntry {
     * deliberately stays on the in-session pinned-edges path as the
     * exploration-scale contrast (same oracle both ways).
     */
+  /** The 3-hop chain over committed store (hop 1, partition-pruned) +
+    * ontology is_a hops, OPTIONAL tail — shared by the two chain3 rows.
+    */
+  private def chain3(s: SparkSession, dir: String, p1: String): DataFrame = {
+    import graft.kg.query.{Ontology, TripleStore}
+    val root = TripleStore.materializedTripleTable(
+      s, Pipeline.allTriplesRaw(
+        SyntheticCorpus.materializedPostings(s, dir),
+        Pipeline.defaultGazetteers(s)), tag = dir)
+    val ont = Ontology.taxonomyDf(s).select(col("child").as("subj"),
+      lit("is_a").as("pred"), col("parent").as("obj"))
+    TripleStore.chainQuery3(
+      s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
+        .union(ont),
+      p1, "is_a", "is_a")
+  }
+
   private def entityEdges(s: SparkSession, dir: String): DataFrame =
     s.table(graft.kg.graph.GraphOps.materializedEdgeTable(
       s, Pipeline.allTriples(
@@ -458,6 +475,16 @@ object SparkEntry {
         lit("is_a").as("pred"), col("parent").as("obj"))
       TripleStore.chainQuery(t.union(ont), "requiresSkill", "is_a")
     }),
+    // -- 3-hop chain BGP with OPTIONAL tail, hop 1 partition-pruned off the
+    // committed store: skill -> category -> super-category
+    // (?s requiresSkill ?o1 . ?o1 is_a ?o2 . OPTIONAL { ?o2 is_a ?o3 })
+    "kg_chain3_query" -> ((s, dir) =>
+      chain3(s, dir, "requiresSkill")),
+    // -- same shape where the chain DEAD-ENDS after two hops (language ->
+    // Language root, which has no parent): every o3 is NULL, so the oracle
+    // hash maximally separates OPTIONAL (left join) from a plain inner tail
+    "kg_chain3_optional" -> ((s, dir) =>
+      chain3(s, dir, "requiresLanguage")),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -1134,6 +1161,19 @@ object SparkEntry {
        |                    WHERE p.subj = c.subj AND p.obj = c.obj_neg))""".stripMargin
   }
 
+  /** 3-hop chain with OPTIONAL tail, stated declaratively: two taxonomy
+    * joins off the same closed-form triples, the second LEFT (a chain
+    * that dead-ends after two hops keeps its row with o3 NULL).
+    */
+  private def chain3Oracle(p1: String): String =
+    s"""WITH triples AS ($allTriplesOracle),
+       |tax(child, parent) AS (SELECT * FROM (VALUES $taxonomyValues) v(child, parent))
+       |SELECT t.subj, t.obj AS o1, x.parent AS o2, y.parent AS o3
+       |FROM triples t
+       |JOIN tax x ON t.obj = x.child
+       |LEFT JOIN tax y ON x.parent = y.child
+       |WHERE t.pred = '$p1'""".stripMargin
+
   /** Bit-exact vs EmbeddingData.negativeSamples. */
   private val negativeSamplesOracle: String =
     s"""WITH triples AS ($allTriplesOracle),
@@ -1423,6 +1463,9 @@ object SparkEntry {
          |SELECT t.subj, t.obj AS o1, x.parent AS o2
          |FROM triples t JOIN tax x ON t.obj = x.child
          |WHERE t.pred = 'requiresSkill'""".stripMargin,
+    // OPTIONAL tail = declarative LEFT JOIN on the second taxonomy hop
+    "kg_chain3_query" -> chain3Oracle("requiresSkill"),
+    "kg_chain3_optional" -> chain3Oracle("requiresLanguage"),
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

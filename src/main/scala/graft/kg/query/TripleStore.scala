@@ -286,6 +286,40 @@ object TripleStore {
       .select(col("subj"), col("o1"), col("o2"))
   }
 
+  /** 3-hop CHAIN BGP with an OPTIONAL tail —
+    * `?s p1 ?o1 . ?o1 p2 ?o2 . OPTIONAL { ?o2 p3 ?o3 }` — the path shape
+    * [[chainQuery]] can't express (two object→subject joins, the third
+    * hop nullable: SPARQL OPTIONAL = left outer join, so a chain that
+    * dead-ends after two hops still emits with `o3` NULL instead of
+    * vanishing). On the emitted KG: each posting's skills with their
+    * category AND super-category, roots surviving with a NULL tail.
+    *
+    * Join plan: each hop is a single-predicate selection — a
+    * partition-pruned scan when `triples` is the committed pred-partitioned
+    * store (TripleStoreSpec asserts the PartitionFilters), a pushed filter
+    * on an in-memory relation. Hops chain obj_i = subj_{i+1};
+    * `broadcastHops` (default) broadcasts hops 2 and 3 — right whenever
+    * p2/p3 are ontology-sized (taxonomy edges); set false for
+    * corpus-scale hop relations and both joins shuffle on the chain
+    * variable. `optionalTail = false` degrades the tail to a plain inner
+    * hop (the strict 3-hop BGP).
+    * Output: (subj, o1, o2, o3), SPARQL combination semantics, o3
+    * nullable under OPTIONAL.
+    */
+  def chainQuery3(triples: DataFrame, p1: String, p2: String, p3: String,
+      broadcastHops: Boolean = true, optionalTail: Boolean = true): DataFrame = {
+    def hop(p: String, s: String, o: String) =
+      triples.where(col("pred") === p)
+        .select(col("subj").as(s), col("obj").as(o))
+    val b = (d: DataFrame) => if (broadcastHops) broadcast(d) else d
+    triples.where(col("pred") === p1)
+      .select(col("subj"), col("obj").as("o1"))
+      .join(b(hop(p2, "o1", "o2")), Seq("o1"))
+      .join(b(hop(p3, "o2", "o3")), Seq("o2"),
+        if (optionalTail) "left" else "inner")
+      .select(col("subj"), col("o1"), col("o2"), col("o3"))
+  }
+
   /** PROPERTY-TABLE export: pivot the tall (subj, pred, obj) relation into
     * one wide row per subject — the feature-store / ML-export shape
     * downstream trainers and dashboards consume (and the classic RDF

@@ -117,6 +117,47 @@ class TripleStoreSpec extends SparkTestBase {
       .findFirstIn(plan).isDefined, s"obj not pushed in:\n${plan.take(3000)}")
   }
 
+  test("chainQuery3: 3 hops, OPTIONAL tail keeps dead-ends with NULL o3") {
+    import spark.implicits._
+    // D1's skill chains to a category WITH a parent (full 3 hops); D2's
+    // chains to a ROOT category (dead-end after hop 2 -> NULL o3); D3's
+    // skill has no category at all (dies at hop 2 under combination
+    // semantics — chains, unlike stars, require every non-OPTIONAL hop)
+    val t = Seq(
+      ("D1", "requiresSkill", "S1"), ("D2", "requiresSkill", "S2"),
+      ("D3", "requiresSkill", "S9"),
+      ("S1", "is_a", "CAT1"), ("S2", "is_a", "ROOT"),
+      ("CAT1", "is_a", "ROOT")).toDF("subj", "pred", "obj")
+    val r = TripleStore.chainQuery3(t, "requiresSkill", "is_a", "is_a")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2),
+        Option(x.getString(3)))).toSet
+    assert(r === Set(
+      ("D1", "S1", "CAT1", Some("ROOT")),
+      ("D2", "S2", "ROOT", None)))
+    // strict (non-OPTIONAL) tail drops the dead-end row
+    val strict = TripleStore
+      .chainQuery3(t, "requiresSkill", "is_a", "is_a", optionalTail = false)
+      .collect().map(_.getString(0)).toSet
+    assert(strict === Set("D1"))
+  }
+
+  test("chainQuery3 off the committed store: hop 1 scan is partition-pruned") {
+    val raw = triples
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("src_offset", org.apache.spark.sql.functions.lit(0))
+    val root = TripleStore.materializedTripleTable(spark, raw, tag = "triplestorespec-c3")
+    import spark.implicits._
+    val ont = Seq(("Java", "is_a", "CAT_JVM"), ("CAT_JVM", "is_a", "Tech"))
+      .toDF("subj", "pred", "obj")
+    val q = TripleStore.chainQuery3(
+      spark.read.parquet(root).select("subj", "pred", "obj").union(ont),
+      "requiresSkill", "is_a", "is_a")
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pred[^\\]]*\\]".r
+      .findAllIn(plan).nonEmpty, s"no pred PartitionFilters in:\n${plan.take(3000)}")
+  }
+
   test("propertyTable: wide row per subject, sorted multi-values, NULL/'' absences") {
     import spark.implicits._
     val t = Seq(
