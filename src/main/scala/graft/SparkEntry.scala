@@ -383,8 +383,14 @@ object SparkEntry {
     }),
     // -- label propagation: density-respecting communities (vs CC's ---------
     // reachability); deterministic min-label tie-break, 3 sync rounds
+    // -- fixed-3-round LPA: the rounds ARE the contract (the BFS radius
+    // precedent — synchronous LPA can oscillate, so unbounded fixpoint
+    // iteration is not total); the converged sibling below is the
+    // fixpoint semantics with the oscillation guard
     "kg_entity_lpa" -> ((s, dir) =>
       graft.kg.graph.GraphOps.labelPropagationOnEdges(entityEdges(s, dir))),
+    "kg_entity_lpa_converged" -> ((s, dir) =>
+      graft.kg.graph.GraphOps.labelPropagationConvergedOnEdges(entityEdges(s, dir))),
     // -- KG-embedding training data: filtered negative samples (TransE-style)
     "kg_negative_samples" -> ((s, dir) =>
       graft.kg.train.EmbeddingData.negativeSamples(
@@ -1142,6 +1148,43 @@ object SparkEntry {
        |SELECT n AS entity, lab AS label FROM l3""".stripMargin
   }
 
+  /** FIXPOINT LPA with the 2-cycle guard, full mechanics in SQL: the
+    * recursive working table carries (label, previous-round label); a
+    * round is emitted only while the next state differs from BOTH (not a
+    * fixpoint, not a 2-cycle — the same stop rule as
+    * GraphOps.labelPropagationConvergedOnEdges). The answer is the
+    * elementwise min-label merge of the final state with one more step:
+    * at a fixpoint that is the state itself; on a 2-cycle it is the
+    * deterministic merge of the two alternating states.
+    */
+  private val entityLpaConvergedOracle: String =
+    s"""WITH RECURSIVE ${coocCtes.stripPrefix("WITH ")},
+       |lpa(n, lab, plab, r) AS (
+       |  SELECT x AS n, x AS lab, CAST(NULL AS VARCHAR) AS plab, 0 AS r FROM deg
+       |  UNION ALL
+       |  SELECT q.n, q.nlab, q.lab, q.r + 1 FROM (
+       |    WITH cnt AS (SELECT e.y, l.lab, CAST(count(*) AS BIGINT) AS c
+       |                 FROM edges e JOIN lpa l ON e.x = l.n GROUP BY 1, 2),
+       |         nxt AS (SELECT c.y AS n, min(c.lab) AS nlab
+       |                 FROM cnt c JOIN (SELECT y, max(c) AS mc FROM cnt GROUP BY 1) m
+       |                   ON c.y = m.y AND c.c = m.mc GROUP BY 1),
+       |         j AS (SELECT x.n, x.nlab, w.lab, w.plab, w.r
+       |               FROM nxt x JOIN lpa w ON x.n = w.n),
+       |         g AS (SELECT bool_or(nlab <> lab) AS changed,
+       |                      bool_or(plab IS NULL OR nlab <> plab) AS notcycle
+       |               FROM j)
+       |    SELECT j.n, j.nlab, j.lab, j.r FROM j, g WHERE g.changed AND g.notcycle
+       |  ) q
+       |),
+       |fin AS (SELECT n, lab FROM lpa WHERE r = (SELECT max(r) FROM lpa)),
+       |cntf AS (SELECT e.y, l.lab, CAST(count(*) AS BIGINT) AS c
+       |         FROM edges e JOIN fin l ON e.x = l.n GROUP BY 1, 2),
+       |nxtf AS (SELECT c.y AS n, min(c.lab) AS nlab
+       |         FROM cntf c JOIN (SELECT y, max(c) AS mc FROM cntf GROUP BY 1) m
+       |           ON c.y = m.y AND c.c = m.mc GROUP BY 1)
+       |SELECT f.n AS entity, least(f.lab, x.nlab) AS label
+       |FROM fin f JOIN nxtf x ON f.n = x.n""".stripMargin
+
   /** CTE chain for the filtered negative samples (identical portable
     * md5-60 corruption index mod 30 + the NOT EXISTS filter) — shared by
     * the negative-sampling and evaluation oracles.
@@ -1448,6 +1491,7 @@ object SparkEntry {
          |WHERE u.x IS NULL""".stripMargin,
     "kg_entailed_triples" -> entailedTriplesOracle,
     "kg_entity_lpa" -> entityLpaOracle,
+    "kg_entity_lpa_converged" -> entityLpaConvergedOracle,
     "kg_negative_samples" -> negativeSamplesOracle,
     "kg_negative_samples_subj" -> negativeSamplesSubjOracle,
     "kg_eval_pr" -> evalPrOracle,

@@ -481,13 +481,28 @@ object GraphOps {
     * ([[pagerankOnEdges]] via `spark.table(name)`) then get the edge side
     * of every per-iteration equi-join on `x` partitioned (and ordered)
     * FROM THE SCAN — no per-iteration edge exchange or sort; only the
-    * node-cardinality rank relation moves. This is the documented 100 TB
-    * shape the `graph` scaling phase measures (the in-session
-    * [[pinnedEdges]] default re-exchanges edges every iteration —
-    * convenient at exploration scale, 0.47 N→4N on the iterate segment at
-    * bench scale). Build-once per (tag, buckets) with the
-    * [[graft.ops.Similarity.materializedIndex]] revalidation discipline;
-    * returns the catalog table name.
+    * node-cardinality rank relation moves. Build-once per (tag, buckets)
+    * with the [[graft.ops.Similarity.materializedIndex]] revalidation
+    * discipline; returns the catalog table name.
+    *
+    * SCALING CONTRACT — what is measured vs what is inferred (BENCH.md
+    * workload 3, 800-replica corpus, this single box):
+    *  - PROVEN: the bucketed path is strictly cheaper in ABSOLUTE cost at
+    *    every parallelism level measured — iterate segment 28.2 s at
+    *    local[8] and 13.9 s at local[32], vs 64.2/19.8 s for the pinned
+    *    in-session path on the same inputs with bit-identical results.
+    *    Prefer it at any scale; that claim needs no cluster.
+    *  - MEASURED BUT MACHINE-BOUND: the bucketed iterate's own N→4N
+    *    ratio on this box is 0.507. Probe isolation attributes the gap to
+    *    the shared 260 MB L3 (32 MB/thread at 8 threads vs 8 MB at 32;
+    *    DRAM bandwidth, frequency scaling, and GC were each exonerated by
+    *    direct measurement), and the pinned path "scales" 0.81 only by
+    *    doing strictly more streaming work per round.
+    *  - INFERRED, NOT PROVEN: on a real cluster, executors do not share
+    *    one L3, so per-core cache capacity — and with it the ratio — is
+    *    expected to recover toward the workload's 0.82+ gates. No
+    *    multi-memory-domain measurement exists in this sandbox; treat the
+    *    cluster ratio as an expectation, not a result.
     */
   def materializedEdgeTable(spark: org.apache.spark.sql.SparkSession,
       triples: DataFrame, tag: String, buckets: Int = 64): String = {
@@ -759,21 +774,88 @@ object GraphOps {
     labelPropagationOnEdges(pinnedEdges(triples), rounds)
 
   /** [[labelPropagation]] over an already-materialized symmetric edge
-    * relation.
+    * relation. The ROUNDS ARE THE CONTRACT (the [[bfs]] radius
+    * precedent, stated honestly): synchronous LPA can oscillate forever
+    * between two label states (a single edge already 2-cycles), so an
+    * unconditional run-to-fixpoint loop is not total — this operator is
+    * the bounded fixed-R variant, and
+    * [[labelPropagationConvergedOnEdges]] is the fixpoint variant with
+    * the oscillation guard.
     */
   def labelPropagationOnEdges(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val init = edges.select(col("x").as("n")).distinct()
-      .select(col("n"), col("n").as("lab"))
-    val fin = (1 to rounds).foldLeft(init) { (labs, _) =>
-      val cnt = edges
-        .join(labs.select(col("n").as("x"), col("lab")), "x")
-        .groupBy(col("y"), col("lab")).agg(count(lit(1)).as("c"))
-      val mx = cnt.groupBy(col("y")).agg(max(col("c")).as("mc"))
-      cnt.join(mx, "y").where(col("c") === col("mc"))
-        .groupBy(col("y")).agg(min(col("lab")).as("lab"))
-        .select(col("y").as("n"), col("lab"))
-    }
+    val fin = (1 to rounds).foldLeft(lpaInit(edges))((labs, _) => lpaStep(edges, labs))
     fin.select(col("n").as("entity"), col("lab").as("label"))
+  }
+
+  private def lpaInit(edges: DataFrame): DataFrame =
+    edges.select(col("x").as("n")).distinct()
+      .select(col("n"), col("n").as("lab"))
+
+  /** One synchronous LPA round: neighbor-label count → per-node max
+    * count → min label among the tied argmax (the deterministic
+    * tie-break every LPA oracle replicates).
+    */
+  private def lpaStep(edges: DataFrame, labs: DataFrame): DataFrame = {
+    val cnt = edges
+      .join(labs.select(col("n").as("x"), col("lab")), "x")
+      .groupBy(col("y"), col("lab")).agg(count(lit(1)).as("c"))
+    val mx = cnt.groupBy(col("y")).agg(max(col("c")).as("mc"))
+    cnt.join(mx, "y").where(col("c") === col("mc"))
+      .groupBy(col("y")).agg(min(col("lab")).as("lab"))
+      .select(col("y").as("n"), col("lab"))
+  }
+
+  /** CONVERGENCE-CHECKED label propagation with a 2-CYCLE DETECTOR — the
+    * fixpoint dual of [[labelPropagationOnEdges]]. Synchronous LPA is
+    * not guaranteed to reach a fixpoint: bipartite-ish structures
+    * oscillate between two label states forever (a single edge already
+    * does), which is why a bare "iterate until no change" loop is
+    * unsound as an operator. This variant stops at the first repeated
+    * state, detected exactly (the CC full-outer set-equality probe, no
+    * hash signatures):
+    *  - next = cur         → true fixpoint, return it;
+    *  - next = state TWO rounds back → 2-cycle; the two alternating
+    *    states are (cur, next), and the result is their elementwise
+    *    min-label merge — deterministic, and exactly where a
+    *    semi-synchronous scheduler would settle the oscillating pair
+    *    (Raghavan et al. 2007 prescribe asynchrony for the same reason).
+    * Periods > 2 are not detected (rare in practice; guarded by the
+    * THROWING `maxRounds` runaway bound — never a silent truncation).
+    * Per round: one labs pin + up to two emptiness probes, all
+    * node-cardinality.
+    * Output: (entity, label).
+    */
+  def labelPropagationConverged(triples: DataFrame, maxRounds: Int = 64): DataFrame =
+    labelPropagationConvergedOnEdges(pinnedEdges(triples), maxRounds)
+
+  /** [[labelPropagationConverged]] over a materialized symmetric edge
+    * relation.
+    */
+  def labelPropagationConvergedOnEdges(edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.withColumn("l", lit(1))
+        .join(b.withColumn("r", lit(1)), Seq("n", "lab"), "full_outer")
+        .where(col("l").isNull || col("r").isNull)
+        .isEmpty
+    var prev2: DataFrame = null
+    var cur = pin(lpaInit(edges))
+    var result: DataFrame = null
+    var round = 0
+    while (result == null && round < maxRounds) {
+      val next = pin(lpaStep(edges, cur))
+      if (same(next, cur)) result = next
+      else if (prev2 != null && same(next, prev2))
+        result = cur.select(col("n"), col("lab").as("la"))
+          .join(next.select(col("n"), col("lab").as("lb")), "n")
+          .select(col("n"), least(col("la"), col("lb")).as("lab"))
+      else { prev2 = cur; cur = next; round += 1 }
+    }
+    require(result != null,
+      s"labelPropagationConverged: no fixpoint or 2-cycle within $maxRounds " +
+        "rounds — raise maxRounds (a longer-period oscillation is possible " +
+        "but pathological); refusing to return a mid-oscillation state")
+    result.select(col("n").as("entity"), col("lab").as("label"))
   }
 
   /** Deterministic random-walk corpus over the co-occurrence graph — the

@@ -289,6 +289,33 @@ class GraphOpsSpec extends SparkTestBase {
     assert(cc.size === 1, "CC merges across the bridge — the contrast LPA exists for")
   }
 
+  test("labelPropagationConverged: oscillators merge via the 2-cycle detector") {
+    import spark.implicits._
+    // a single symmetric edge is the minimal synchronous-LPA oscillator:
+    // labels SWAP every round (A:B,B:A <-> A:A,B:B), so an unguarded
+    // run-to-fixpoint loop never terminates. The detector must stop at
+    // the first repeated state and merge the two alternating states to
+    // the elementwise min label
+    val osc = Seq(("A", "B"), ("B", "A")).toDF("x", "y")
+    val r = GraphOps.labelPropagationConvergedOnEdges(osc).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r === Map("A" -> "A", "B" -> "A"))
+    // a graph with a true fixpoint converges to it: two bridged triangles
+    // settle exactly where the 3-round unroll lands (r2 == r3 there)
+    val t = Seq(("D1", "m", "A"), ("D1", "m", "B"), ("D1", "m", "C"),
+      ("D2", "m", "X"), ("D2", "m", "Y"), ("D2", "m", "Z"),
+      ("D3", "m", "C"), ("D3", "m", "X")).toDF("subj", "pred", "obj")
+    val conv = GraphOps.labelPropagationConverged(t).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(conv === Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "X" -> "C", "Y" -> "C", "Z" -> "C"))
+    // the runaway bound THROWS rather than returning a mid-oscillation state
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.labelPropagationConvergedOnEdges(osc, maxRounds = 0).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint or 2-cycle"))
+  }
+
   test("linkPredictionRA: non-edges scored by common-neighbor mass, hubs capped") {
     import spark.implicits._
     // path A-B-C plus B-D: non-edges (A,C) share {B}, (A,D) share {B},
