@@ -105,6 +105,17 @@ object SparkEntry {
         .select(col("subj"), col("sp.offset").cast("long").as("offset"),
           col("sp.kind").as("kind"), col("sp.text").as("text"),
           col("sp.media_ref").as("media_ref"))),
+    // -- the stack-based event-stream parser (nested markup, HTML5
+    // auto-close, media inside blocks): result-equal to the regex
+    // flattener on this corpus — two plans, ONE closed-form oracle (the
+    // gazetteer-trie pairing)
+    "kg_html_spans_nested" -> ((s, dir) =>
+      graft.kg.io.HtmlSpans.flattenNested(graft.kg.io.HtmlSpans.htmlCorpus(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id").as("subj"), explode(col("spans")).as("sp"))
+        .select(col("subj"), col("sp.offset").cast("long").as("offset"),
+          col("sp.kind").as("kind"), col("sp.text").as("text"),
+          col("sp.media_ref").as("media_ref"))),
     // -- derivation sanity: span/media counts per doc ------------------------
     "kg_postings_stats" -> ((s, dir) => {
       SyntheticCorpus.materializedPostings(s, dir).select(
@@ -1349,13 +1360,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = kgOracles ++ OpsEntries.oracleSql
 
-  private val kgOracles: Map[String, String] = Map(
-    // expected spans of HtmlSpans.htmlCorpus in closed form (title at ord
-    // -1, chunk i at 2i, its media at 2i+1, footer last; offset by dense
-    // per-doc rank) — no HTML appears here, so the pairing proves the
-    // Spark-side flattener inverts the Spark-side rendering exactly
-    "kg_html_spans" ->
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts,
+  /** Closed-form expected spans of HtmlSpans.htmlCorpus — shared by
+    * BOTH flatteners (kg_html_spans / kg_html_spans_nested): the regex
+    * and the event-stream parser are result-equal plans over this
+    * corpus, proven against one oracle (the gazetteer-trie pairing).
+    */
+  private val htmlSpansOracle: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts,
         |                  ((len(string_split(text, ' ')) + 7) // 8) AS nb
         |           FROM documents),
         |parts AS (
@@ -1383,7 +1394,16 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
         |    AS BIGINT) AS offset,
         |  kind, text, media_ref
-        |FROM parts""".stripMargin,
+        |FROM parts""".stripMargin
+
+  private val kgOracles: Map[String, String] = Map(
+    // expected spans of HtmlSpans.htmlCorpus in closed form (title at ord
+    // -1, chunk i at 2i, its media at 2i+1, footer last; offset by dense
+    // per-doc rank) — no HTML appears here, so the pairing proves the
+    // Spark-side flattener inverts the Spark-side rendering exactly
+    "kg_html_spans" -> htmlSpansOracle,
+    // the event-stream parser is result-equal on this corpus: same oracle
+    "kg_html_spans_nested" -> htmlSpansOracle,
     "kg_postings_stats" ->
       s"""SELECT $subj,
          | CAST(2 + (CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END)

@@ -125,6 +125,133 @@ object HtmlSpans {
     }).as("spans"))
   }
 
+  /** NESTED-markup flattener — one honesty grade up from [[flatten]]
+    * toward DOM semantics, still ONE Catalyst projection per document (no
+    * UDF, no RDD, no shuffle; the prep scales with the scan). Where
+    * [[flatten]] matches whole block elements with a regex alternation
+    * (nested blocks close their parent; text after a nested child is
+    * DROPPED), this parser tokenizes the document into a tag/text EVENT
+    * STREAM (`regexp_extract_all` keeps order) and folds it through a
+    * `aggregate` higher-order function carrying an explicit ELEMENT STACK
+    * — the jsoup-walk recast as a per-row catalyst fold:
+    *
+    *  - every maximal text run becomes a span labeled with the kind of
+    *    its NEAREST enclosing emitted block (`title|h1|h2|li|p|footer`);
+    *    text directly under non-emitted containers (`div`, `td`, `body`,
+    *    …) degrades to kind `p` instead of being dropped —
+    *    `<li>a<p>b</p>c</li>` yields li:a, p:b, li:c (the tail survives),
+    *    `<div>lead<p>x</p>tail</div>` yields p:lead, p:x, p:tail;
+    *  - HTML5 auto-close rules: an open block auto-closes a top `<p>`; a
+    *    new `<li>` additionally auto-closes a top `<li>` (nested lists
+    *    keep the outer li open — `<li>a<ul><li>b</li></ul>c</li>` keeps
+    *    c on the OUTER li); a close tag pops through unclosed children;
+    *    stray closes are ignored;
+    *  - inline tags (the [[flatten]] set) and unknown tags are
+    *    TRANSPARENT (unwrapped to their text); `<script>`/`<style>`
+    *    bodies and comments are stripped before tokenizing; a `<` that
+    *    opens no tag is text;
+    *  - `<img src>` ANYWHERE emits a `media` span at its document
+    *    position — inside a block it SPLITS the text span (richer than
+    *    [[flatten]], which drops nested media), preserving the
+    *    interleaved payload order invariant;
+    *  - an explicitly-closed empty block (`<p></p>`) is preserved as an
+    *    empty span (what makes the [[render]] round-trip an identity);
+    *    whitespace-only runs BETWEEN blocks (separator newlines) drop.
+    *
+    * `flattenNested(render(postings)) = postings.spans` holds for every
+    * well-formed span table (SpanInvariantSpec proves it corpus-wide), and
+    * on [[htmlCorpus]] the output is row-identical to [[flatten]]'s —
+    * `kg_html_spans_nested` shares `kg_html_spans`' closed-form oracle
+    * (two result-equal plans, one oracle: the gazetteer-trie pairing).
+    *
+    * Cost model: the fold is per-document and event-linear with a string
+    * accumulator (records joined by US/RS control separators — chr 30/31
+    * are reserved and stripped from emitted text, the one departure from
+    * byte-identity, for pathological inputs only); measured ~3.5× the
+    * struct-array accumulator it replaced. Higher-order functions
+    * evaluate interpreted (no whole-stage codegen), so this is the
+    * ROBUSTNESS path; [[flatten]] remains the throughput path — both are
+    * verified against the same oracle.
+    */
+  def flattenNested(html: DataFrame): DataFrame = {
+    val Emit = "('title','h1','h2','footer','li','p')"
+    val Block = "('title','h1','h2','h3','h4','h5','h6','li','p','footer'," +
+      "'ul','ol','div','section','article','header','nav','aside','table'," +
+      "'thead','tbody','tr','td','th','blockquote','pre','form','body','html')"
+    def unesc(x: String) =
+      s"replace(replace(replace($x, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"
+    def kindOf(stk: String) =
+      s"coalesce(try_element_at(filter($stk, k -> k IN $Emit), -1), 'p')"
+    // flush the text buffer as one record: kind US text US (media_ref '');
+    // `always` preserves a genuinely empty immediately-closed block, else
+    // whitespace-only buffers (inter-tag separators) drop. chr(30)/chr(31)
+    // are the record/field separators and are stripped from text.
+    def flushed(stk: String, buf: String, out: String, always: String) =
+      s"IF(($always) OR $buf RLIKE '\\\\S', " +
+        s"concat($out, chr(30), ${kindOf(stk)}, chr(31), " +
+        s"translate(${unesc(buf)}, chr(30) || chr(31), ''), chr(31)), $out)"
+    // '' for text runs; tag name lowercased for tag events
+    val tag = "lower(regexp_extract(e, '^</?([a-zA-Z][a-zA-Z0-9]*)', 1))"
+    // open-branch auto-close: any block open pops a top <p>; a new <li>
+    // additionally pops a top <li>
+    val s1 = "IF(try_element_at(acc.stk, -1) = 'p', " +
+      "slice(acc.stk, 1, size(acc.stk) - 1), acc.stk)"
+    val s2 = s"IF($tag = 'li' AND try_element_at($s1, -1) = 'li', " +
+      s"slice($s1, 1, size($s1) - 1), $s1)"
+    // close-branch: pop through the LAST occurrence of the closed tag
+    // (tolerates unclosed children); absent tag = stray close, no pop
+    val pos = s"coalesce(array_position(reverse(acc.stk), $tag), 0)"
+    // non-close flushes (block open / media / end of document) also
+    // always-emit when a NON-EMPTY buffer sits directly inside a freshly
+    // opened emitted block: a whitespace-only unclosed <li>/<p> is a real
+    // span (what [[flatten]]'s tempered-dot match emits too), while
+    // separator whitespace under containers (`<ul>\n<li>`) still drops
+    val openAlw = s"acc.fresh AND acc.buf <> '' AND " +
+      s"try_element_at(acc.stk, -1) IN $Emit"
+    val pre = "regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ''), " +
+      "'(?is)<(script|style)(\\\\s[^>]*)?>.*?</\\\\1\\\\s*>', '')"
+    val zero = "named_struct('stk', cast(array() AS array<string>), " +
+      "'buf', '', 'fresh', false, 'out', '')"
+    val step = s"""CASE
+      WHEN NOT e RLIKE '^</?[a-zA-Z]' THEN
+        named_struct('stk', acc.stk, 'buf', acc.buf || e,
+          'fresh', acc.fresh, 'out', acc.out)
+      WHEN $tag = 'img' AND NOT e LIKE '</%' THEN
+        IF(e RLIKE 'src="',
+          named_struct('stk', acc.stk, 'buf', '', 'fresh', false,
+            'out', concat(${flushed("acc.stk", "acc.buf", "acc.out", openAlw)},
+              chr(30), 'media', chr(31), chr(31),
+              translate(replace(replace(regexp_extract(e, 'src="([^"]*)"', 1),
+                '&quot;', '"'), '&amp;', '&'), chr(30) || chr(31), ''))),
+          acc)
+      WHEN NOT $tag IN $Block THEN acc
+      WHEN e LIKE '</%' THEN named_struct(
+        'stk', IF($pos = 0, acc.stk,
+          slice(acc.stk, 1, size(acc.stk) - cast($pos AS INT))),
+        'buf', '', 'fresh', false,
+        'out', ${flushed("acc.stk", "acc.buf", "acc.out",
+          s"acc.fresh AND try_element_at(acc.stk, -1) = $tag AND $tag IN $Emit")})
+      ELSE named_struct(
+        'stk', $s2 || array($tag),
+        'buf', '', 'fresh', true,
+        'out', ${flushed("acc.stk", "acc.buf", "acc.out", openAlw)})
+      END"""
+    // records are kind-first and separator-framed, so never '': the filter
+    // drops exactly the artificial head the leading chr(30) creates
+    val finAlw = "a.fresh AND a.buf <> '' AND " +
+      s"try_element_at(a.stk, -1) IN $Emit"
+    val finish = s"a -> transform(filter(split(" +
+      s"${flushed("a.stk", "a.buf", "a.out", finAlw)}, chr(30)), " +
+      "rec0 -> rec0 <> ''), (rec, i) -> named_struct(" +
+      "'kind', element_at(split(rec, chr(31)), 1), " +
+      "'text', element_at(split(rec, chr(31)), 2), " +
+      "'media_ref', element_at(split(rec, chr(31)), 3), " +
+      "'offset', cast(i AS INT)))"
+    val sql = s"aggregate(regexp_extract_all($pre, " +
+      s"'(?s)</?[a-zA-Z][^>]*>|[^<]+|<', 0), $zero, (acc, e) -> $step, $finish)"
+    html.select(col("doc_id"), expr(sql).as("spans"))
+  }
+
   /** `(doc_id, spans)` → `(doc_id, html)` — the inverse serialization:
     * one block element per span in span order, text entity-escaped, media
     * spans as `<img src="…">`. Exists for the round-trip identity test and
