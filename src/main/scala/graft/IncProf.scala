@@ -19,18 +19,6 @@ object IncProf {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // per-job breakdown: wall time + stage count + call site of the last run
-    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        starts.put(js.jobId, (System.nanoTime(), js.stageInfos.size,
-          js.stageInfos.map(_.name.takeWhile(_ != '+').trim).distinct.mkString(" | ").take(160)))
-      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val (t0, ns, cs) = starts.remove(je.jobId)
-        jobs.add((je.jobId, System.nanoTime() - t0, ns, cs))
-      }
-    })
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long, Long, Int, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -45,10 +33,14 @@ object IncProf {
       }
     })
     def time[T](name: String)(f: => T): T = {
-      jobs.clear(); stages.clear()
+      stages.clear()
       val t0 = System.nanoTime(); val r = f
       println(f"[incprof] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       if (sys.env.contains("INCPROF_JOBS")) {
+        // listener events are delivered async; give the bus a beat so tail
+        // StageCompleted events land in this block, not the next (dev
+        // diagnostic — best-effort, not a correctness surface)
+        Thread.sleep(300)
         import scala.jdk.CollectionConverters._
         stages.asScala.toSeq.sortBy(_._1).foreach { case (id, wall, run, sr, sw, nt, d) =>
           if (wall >= 100)

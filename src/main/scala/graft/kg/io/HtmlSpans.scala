@@ -148,8 +148,9 @@ object HtmlSpans {
     *    stray closes are ignored;
     *  - inline tags (the [[flatten]] set) and unknown tags are
     *    TRANSPARENT (unwrapped to their text); `<script>`/`<style>`
-    *    bodies and comments are stripped before tokenizing; a `<` that
-    *    opens no tag is text;
+    *    bodies, comments, and markup declarations / processing
+    *    instructions (`<!DOCTYPE …>`, `<?xml …?>`) are stripped before
+    *    tokenizing; a `<` that opens no tag is text;
     *  - `<img src>` ANYWHERE emits a `media` span at its document
     *    position — inside a block it SPLITS the text span (richer than
     *    [[flatten]], which drops nested media), preserving the
@@ -208,8 +209,15 @@ object HtmlSpans {
     // separator whitespace under containers (`<ul>\n<li>`) still drops
     val openAlw = s"acc.fresh AND acc.buf <> '' AND " +
       s"try_element_at(acc.stk, -1) IN $Emit"
-    val pre = "regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ''), " +
-      "'(?is)<(script|style)(\\\\s[^>]*)?>.*?</\\\\1\\\\s*>', '')"
+    // comments first (so '-->' can't hide a declaration close), then
+    // script/style bodies, then markup declarations / processing
+    // instructions (<!DOCTYPE …>, <![CDATA[…, <?xml …?>) — the tokenizer
+    // would otherwise read '<' + '!DOCTYPE html>' as TEXT and flush it as
+    // a spurious leading p span on virtually every real crawled page
+    val pre = "regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?s)<!--.*?-->', ''), " +
+      "'(?is)<(script|style)(\\\\s[^>]*)?>.*?</\\\\1\\\\s*>', ''), " +
+      "'(?s)<[!?][^>]*>', '')"
     val zero = "named_struct('stk', cast(array() AS array<string>), " +
       "'buf', '', 'fresh', false, 'out', '')"
     val step = s"""CASE
@@ -225,12 +233,11 @@ object HtmlSpans {
                 '&quot;', '"'), '&amp;', '&'), chr(30) || chr(31), ''))),
           acc)
       WHEN NOT $tag IN $Block THEN acc
-      WHEN e LIKE '</%' THEN named_struct(
-        'stk', IF($pos = 0, acc.stk,
-          slice(acc.stk, 1, size(acc.stk) - cast($pos AS INT))),
+      WHEN e LIKE '</%' THEN IF($pos = 0, acc, named_struct(
+        'stk', slice(acc.stk, 1, size(acc.stk) - cast($pos AS INT)),
         'buf', '', 'fresh', false,
         'out', ${flushed("acc.stk", "acc.buf", "acc.out",
-          s"acc.fresh AND try_element_at(acc.stk, -1) = $tag AND $tag IN $Emit")})
+          s"acc.fresh AND try_element_at(acc.stk, -1) = $tag AND $tag IN $Emit")}))
       ELSE named_struct(
         'stk', $s2 || array($tag),
         'buf', '', 'fresh', true,

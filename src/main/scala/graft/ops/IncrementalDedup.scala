@@ -69,6 +69,18 @@ object IncrementalDedup {
   private def pinned(df: DataFrame): DataFrame =
     df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
+  /** Hard ceiling on a single fold's DISTINCT shard texts. The fold
+    * broadcasts shard-derived key relations (content keys, matched ids,
+    * candidate ids) so the committed corpus is never shuffled; an explicit
+    * `broadcast()` hint bypasses `autoBroadcastJoinThreshold`, so without
+    * this guard a jumbo backfill dies mid-fold on Spark's 8 GB broadcast
+    * hard limit (or driver OOM) with no hint at the remediation. 20M keys
+    * ≈ 1–2 GB broadcast — comfortably under the limit; a larger backfill
+    * should be split into several commit batches (which is how it would be
+    * ingested anyway).
+    */
+  val MaxShardReps: Long = 20000000L
+
   /** Write the dedup state of `corpus` under `stateDir` (parquet subdirs).
     * One collapse + one shingle pass + one signature pass + one capped
     * candidate join + one verify — exactly the from-scratch derivation cost,
@@ -106,6 +118,13 @@ object IncrementalDedup {
     // AQE-coalescible on small inputs, which would silently restore the
     // one-row-group layout
     val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // layout version stamped FIRST (it describes the layout, not commit
+    // atomicity — half-written commits fail on missing parquet regardless):
+    // readers refuse a mismatched version with an actionable message
+    // instead of an opaque missing-column/missing-path error
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "_VERSION"), StateVersion.toString)
     reps.join(sizes, Seq("rep_id"), "left")
       .select(col("rep_id"), col("text"),
         Dedup.contentKey(col("text")).as("gh"),
@@ -225,8 +244,26 @@ object IncrementalDedup {
   private final case class State(reps: DataFrame, members: DataFrame,
       buckets: DataFrame, comps: DataFrame, incPairs: DataFrame)
 
+  /** Refuse a state directory committed under a different layout version
+    * with an actionable error (recommit), instead of the opaque
+    * missing-path / unresolved-column failure a raw read would hit.
+    * A directory with no `_VERSION` marker predates versioning = v1.
+    */
+  private def checkVersion(stateDir: String): Unit = {
+    val p = java.nio.file.Paths.get(stateDir, "_VERSION")
+    val found =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).trim.toIntOption.getOrElse(0)
+      else 1
+    require(found == StateVersion,
+      s"dedup state at $stateDir has layout v$found but this build reads " +
+        s"v$StateVersion — recommit the base corpus (commitState) into a " +
+        "fresh directory; on-disk state is not migrated in place")
+  }
+
   private def stateRelations(spark: SparkSession, stateDir: String,
       asOf: Option[String] = None): State = {
+    checkVersion(stateDir)
     val base = baseRoot(stateDir)
     val committed = visibleIncrements(stateDir, foldedTagsOf(stateDir), asOf)
     val (reps, members, buckets, _) = relationsOf(spark, base, committed)
@@ -264,6 +301,7 @@ object IncrementalDedup {
   def compact(spark: SparkSession, stateDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    checkVersion(stateDir)
     val oldBase = baseRoot(stateDir)
     val prevFolded = foldedTagsOf(stateDir)
     // list the committed increments ONCE: this exact set is what the new
@@ -408,6 +446,14 @@ object IncrementalDedup {
     // sMembers is only read by the single final action (member union), so
     // it stays lazy: one shard-sized recompute beats an eager job.
     val sReps = pinned(sReps0)
+    // enforce the broadcast-sized-shard contract stated below: one
+    // metadata-scale count over the eager checkpoint, failing fast with
+    // the documented remediation instead of an opaque broadcast error
+    val nShardReps = sReps.count()
+    require(nShardReps <= MaxShardReps,
+      s"shard has $nShardReps distinct texts (> MaxShardReps=$MaxShardReps)" +
+        " — the fold broadcasts shard-derived key relations; split the " +
+        "backfill into smaller commit batches")
     val sMembers = sMembers0
     val sKeyed = sReps.withColumn("gh", Dedup.contentKey(col("text")))
     val bKeyed = bReps.select(col("rep_id").as("b_rep"), col("gh"))

@@ -511,6 +511,28 @@ class OpsSpec extends SparkTestBase {
       .where(col("rep_id") === 999999999L).isEmpty)
   }
 
+  test("incremental dedup: readers refuse a mismatched state layout version") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.IncrementalDedup
+    val dir = Files.createTempDirectory("graft-inc-ver").toString
+    IncrementalDedup.commitState(spark, corpus, dir)
+    // a pre-versioning directory (no _VERSION marker) reads as layout v1:
+    // the error must name both versions and the remediation, not surface
+    // as a missing-path/unresolved-column failure
+    Files.delete(Paths.get(dir, "_VERSION"))
+    val e = intercept[IllegalArgumentException](
+      IncrementalDedup.decisionAsOf(spark, dir).count())
+    assert(e.getMessage.contains("layout v1") &&
+      e.getMessage.contains("recommit"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IncrementalDedup.compact(spark, dir))
+    assert(e2.getMessage.contains("layout v1"), e2.getMessage)
+    // restoring the marker restores the reader
+    Files.writeString(Paths.get(dir, "_VERSION"),
+      IncrementalDedup.StateVersion.toString)
+    assert(IncrementalDedup.decisionAsOf(spark, dir).count() > 0)
+  }
+
   test("incremental dedup: as-of snapshot reads reproduce each day's decision") {
     import java.nio.file.Files
     import graft.ops.IncrementalDedup
@@ -615,6 +637,9 @@ class OpsSpec extends SparkTestBase {
     // redone (stray band collisions may shingle a corrupted candidate text,
     // but its verify then drops exactly as the intact J<0.5 pair would)
     val dir2 = Files.createTempDirectory("graft-inc-corrupt").toString
+    Files.copy(java.nio.file.Paths.get(dir, "_VERSION"),
+      java.nio.file.Paths.get(dir2, "_VERSION"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     for (sub <- Seq("members", "buckets", "pairs", "comps"))
       spark.read.parquet(s"$dir/$sub").write.parquet(s"$dir2/$sub")
     spark.read.parquet(s"$dir/reps")
@@ -628,6 +653,9 @@ class OpsSpec extends SparkTestBase {
     // the decision must FOLLOW the corruption — the untouched-label
     // passthrough of the incremental CC path, observed end to end
     val dir3 = Files.createTempDirectory("graft-inc-comps").toString
+    Files.copy(java.nio.file.Paths.get(dir, "_VERSION"),
+      java.nio.file.Paths.get(dir3, "_VERSION"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     for (sub <- Seq("members", "buckets", "pairs", "reps"))
       spark.read.parquet(s"$dir/$sub").write.parquet(s"$dir3/$sub")
     spark.read.parquet(s"$dir/comps")

@@ -193,7 +193,15 @@ class SpanInvariantSpec extends SparkTestBase {
       // img with no src is transparent; entities unescape in text
       ("s6", "<p>a<img>b &amp; &lt;tag&gt;</p>"),
       // unclosed at end of document keeps its text
-      ("s7", "<p>tail")))
+      ("s7", "<p>tail"),
+      // a stray close MID-BLOCK must not split the span: the buffer keeps
+      // accumulating across the ignored token (the round-6 review catch —
+      // the old close branch flushed unconditionally of the pop)
+      ("s8", "<p>a</div>b</p>"),
+      ("s9", "<li>x</p>y"),
+      // markup declarations / processing instructions are stripped, not
+      // flushed as a spurious leading p span (every real page: <!DOCTYPE>)
+      ("s10", "<!DOCTYPE html><?xml version=\"1.0\"?><html><p>a</p></html>")))
     assert(got("s1") == List("p|a b c|"))
     assert(got("s2") == List("p|a < b and c > d|"))
     assert(got("s3") == List("p|yes|"))
@@ -201,6 +209,9 @@ class SpanInvariantSpec extends SparkTestBase {
     assert(got("s5") == List("li|a|", "li|b|"))
     assert(got("s6") == List("p|ab & <tag>|"))
     assert(got("s7") == List("p|tail|"))
+    assert(got("s8") == List("p|ab|"))
+    assert(got("s9") == List("li|xy|"))
+    assert(got("s10") == List("p|a|"))
   }
 
   test("event-stream parser: flattenNested(render(postings)) is the identity") {
