@@ -119,6 +119,14 @@ object OpsEntries {
     // salted ranking — no single task sorts a whole stratum)
     "curate_sample" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
     "curate_sample_topk" -> ((s, dir) => Sampling.stratifiedTopK(docs(s, dir))),
+    // weighted (probability-proportional-to-length, capped) exact-k sample:
+    // integer-exact Efraimidis–Spirakis via min-of-w-hash replication keys —
+    // one codegen'd projection (no explode), two-level salted bottom-k
+    "curate_sample_weighted" -> ((s, dir) => Sampling.weightedTopK(docs(s, dir))),
+    // mixture-targeted budgets: availability-bound per-language token caps
+    // from target proportions (argmin binding stratum), then the two-phase
+    // prefix fill — the LLaMA-style mixture knob as one operator
+    "curate_mixture" -> ((s, dir) => Sampling.mixtureBudget(docs(s, dir))),
     // per-source TOKEN-budget fill: two-phase bucket-histogram prefix scan
     // (no stratum-sized sort); kept set == the naive running-total prefix
     "curate_token_budget" -> ((s, dir) => Sampling.tokenBudget(docs(s, dir))),
@@ -824,6 +832,46 @@ object OpsEntries {
          |  CAST(row_number() OVER (PARTITION BY lang
          |         ORDER BY bucket ASC, doc_id ASC) AS BIGINT) AS rank
          |FROM b QUALIFY rank <= 40""".stripMargin,
+    // full-mechanics weighted sample: the same min-of-w 60-bit draws
+    // ("wsmp:doc_id:r") and the same capped length weight, pure integer —
+    // the oracle restates the replication construction verbatim
+    "curate_sample_weighted" ->
+      s"""WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         |  least(greatest(len(string_split(text, ' ')) // 20, 1), 8) AS w
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang, CAST(w AS BIGINT) AS weight,
+         |  list_min(list_transform(generate_series(1, w), r ->
+         |    ${duckHash60("'wsmp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")})) AS skey
+         |  FROM b)
+         |SELECT doc_id, lang, weight,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |         ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rank
+         |FROM k QUALIFY rank <= 40""".stripMargin,
+    // mixture oracle states the NAIVE definition: availability totals →
+    // binding-stratum fixed-point total → per-language budgets (HUGEINT
+    // intermediates mirror Spark's decimal(38,0)) → one running-prefix
+    // window per language; shares embedded verbatim from
+    // Sampling.defaultShares (single source)
+    "curate_mixture" ->
+      s"""WITH s(lang, share_e4) AS (VALUES
+         |  ${Sampling.defaultShares.map { case (l, v) => s"('$l', $v)" }.mkString(", ")}),
+         |b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   ${duckHash60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |   FROM documents),
+         |t AS (SELECT s.lang, s.share_e4, coalesce(sum(b.n_tokens), 0) AS tt
+         |      FROM s LEFT JOIN b USING (lang) GROUP BY 1, 2),
+         |cap AS (SELECT min(tt::HUGEINT * 10000 // share_e4) AS total FROM t),
+         |bud AS (SELECT lang, CAST(share_e4::HUGEINT *
+         |          (SELECT total FROM cap) // 10000 AS BIGINT) AS budget
+         |        FROM s),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM b)
+         |SELECT c.doc_id, c.lang, c.n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens,
+         |       bud.budget
+         |FROM c JOIN bud USING (lang) WHERE c.cum <= bud.budget""".stripMargin,
     // the oracle states the NAIVE definition (per-source running-token
     // prefix over the (bucket, doc_id) order); the Spark plan's two-phase
     // bucket-histogram restatement must select the identical set

@@ -114,29 +114,143 @@ object Sampling {
     * cum_tokens ≤ budget is the doc's position in the source's running
     * total.
     */
-  def tokenBudget(docs: DataFrame, budget: Long = 600L): DataFrame = {
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      budgetBucket(col("doc_id")).as("bucket"))
+  def tokenBudget(docs: DataFrame, budget: Long = 600L): DataFrame =
+    prefixFill(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          budgetBucket(col("doc_id")).as("bucket"))
+        .withColumn("budget", lit(budget)),
+      "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+
+  /** The two-phase budget-prefix fill shared by [[tokenBudget]] (scalar
+    * budget) and [[mixtureBudget]] (per-stratum budgets): `based` carries
+    * (doc_id, `key`, n_tokens, bucket, budget) with `budget` constant per
+    * stratum; kept set = the docs whose per-stratum running token total in
+    * (bucket, doc_id) order fits the stratum's budget — IDENTICAL to the
+    * naive single-window prefix definition, but no window ever spans a
+    * whole stratum (phase shapes documented at [[tokenBudget]]).
+    */
+  private def prefixFill(based: DataFrame, key: String): DataFrame = {
     // phase 1+2: bucket histogram + bucket-level running totals (tiny)
-    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
-    val bcum = base.groupBy(col("source"), col("bucket"))
+    val wB = Window.partitionBy(col(key)).orderBy(col("bucket"))
+    val bcum = based.groupBy(col(key), col("bucket"))
       .agg(sum(col("n_tokens")).as("bt"))
       .withColumn("cum", sum(col("bt")).over(wB))
       .withColumn("prior", col("cum") - col("bt"))
     // phase 3: docs in fully-fitting buckets need only their within-bucket
-    // running sum to report cum_tokens (window key (source, bucket) —
+    // running sum to report cum_tokens (window key (key, bucket) —
     // ~1/10⁴ of a stratum per partition)
-    val wDoc = Window.partitionBy(col("source"), col("bucket"))
+    val wDoc = Window.partitionBy(col(key), col("bucket"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = base.join(bcum, Seq("source", "bucket"))
+    val joined = based.join(bcum, Seq(key, "bucket"))
       .withColumn("cum_tokens", col("prior") + sum(col("n_tokens")).over(wDoc))
     // full buckets pass outright; the boundary bucket keeps its fitting
     // prefix — together exactly the docs with cum_tokens <= budget
-    joined
-      .where(col("cum") <= budget ||
-        (col("prior") < budget && col("cum_tokens") <= budget))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+    joined.where(col("cum") <= col("budget") ||
+      (col("prior") < col("budget") && col("cum_tokens") <= col("budget")))
+  }
+
+  /** Target LANGUAGE MIXTURE in 1e4 fixed point (en 40%, de/fr/es/zh 15%
+    * of training tokens) — the headline data-mixing knob of a pretraining
+    * run: shares of the FINAL corpus, not keep rates. Shared verbatim with
+    * the DuckDB oracle (OpsEntries) — change both together.
+    */
+  val defaultShares: Seq[(String, Long)] = Seq(
+    ("en", 4000L), ("de", 1500L), ("fr", 1500L), ("es", 1500L), ("zh", 1500L))
+
+  /** Mixture bucket: the [[bucket]] construction under a "mix:" salt, so a
+    * doc's mixture fate is independent of its Bernoulli/budget buckets.
+    */
+  private[graft] def mixBucket(docId: Column): Column =
+    conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 10000L
+
+  /** MIXTURE-targeted token budgets — "give me the LARGEST corpus whose
+    * language composition is exactly `shares`": the way real pretraining
+    * mixtures are specified (LLaMA/Pile-style target proportions), as
+    * opposed to [[tokenBudget]]'s absolute per-stratum caps. The budget a
+    * proportion implies depends on AVAILABILITY: the binding stratum is the
+    * one that runs out first, argmin over strata of T_l / share_l (T_l =
+    * available tokens), total = min_l(T_l·1e4 div share_l) in fixed point,
+    * budget_l = share_l · total div 1e4. Then each stratum keeps its
+    * deterministic (mix-bucket, doc_id)-ordered prefix fitting budget_l —
+    * the [[prefixFill]] two-phase plan, no stratum-sized sort.
+    *
+    * Scale shape: pass 1 is one partial-agg (map-side combine) to |langs|
+    * rows; total/budgets are metadata-scale (|langs| rows, one broadcast);
+    * pass 2 is the prefixFill. Budgets use decimal(38,0) intermediates:
+    * share·total overflows int64 around 1e15 available tokens — a corpus
+    * size this engine is explicitly designed for. A share language absent
+    * from the corpus makes the mixture infeasible: T=0 binds total to 0 and
+    * the result is empty (the honest answer, stated here as contract).
+    *
+    * Output: (doc_id, lang, n_tokens, cum_tokens, budget), kept iff
+    * cum_tokens ≤ budget; budget is the stratum's mixture-implied cap.
+    */
+  def mixtureBudget(docs: DataFrame,
+      shares: Seq[(String, Long)] = defaultShares): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val s = shares.toDF("lang", "share_e4")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      mixBucket(col("doc_id")).as("bucket"))
+    // availability pass: |langs| rows after map-side partial agg; LEFT join
+    // from shares so an absent stratum yields T=0 (infeasible mixture)
+    val totals = s.join(
+        base.groupBy(col("lang")).agg(sum(col("n_tokens")).as("t")),
+        Seq("lang"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .withColumn("cap", expr(
+        "cast(cast(t as decimal(38,0)) * 10000 div share_e4 as bigint)"))
+    val total = totals.agg(min(col("cap")).as("total"))
+    val budgets = s.crossJoin(broadcast(total)) // 1-row scalar fan-out
+      .withColumn("budget", expr(
+        "cast(cast(share_e4 as decimal(38,0)) * total div 10000 as bigint)"))
+      .select(col("lang"), col("budget"))
+    prefixFill(base.join(broadcast(budgets), "lang"), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"),
+        col("budget"))
+  }
+
+  /** WEIGHTED exact-k stratified sample — probability-proportional-to-weight
+    * WITHOUT replacement (Efraimidis & Spirakis 2006 semantics), integer-
+    * exact: instead of the float key u^(1/w) the paper uses, each doc draws
+    * `w` independent 60-bit hashes ("wsmp:doc_id:r", r = 1..w) and keys on
+    * their MINIMUM. Taking strata bottom-k by that key is EXACTLY successive
+    * w_i/Σw_remaining sampling (the replication equivalence: order all Σw
+    * draws, select items by first appearance), with pure integer compares —
+    * which is what makes a bit-exact DuckDB oracle possible where a
+    * pow()-keyed plan would drift on float libm differences.
+    *
+    * Weight here = length-proportional sampling mass, capped:
+    * w = clamp(n_tokens div 20, 1, 8). The O(w≤8) hashes are computed in
+    * ONE codegen'd projection (`transform(sequence(1,w))` + `array_min` —
+    * no explode, no fan-out rows); selection is the same two-level salted
+    * bottom-k as [[stratifiedTopK]] (no task ever sorts a whole stratum).
+    * Output: (doc_id, lang, weight, rank), rank ∈ [1,k] by (key, doc_id).
+    */
+  def weightedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame = {
+    val withK = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        expr("cast(least(greatest(size(split(text, ' ')) div 20, 1), 8) " +
+          "as bigint)").as("weight"))
+      .withColumn("skey", expr(
+        """array_min(transform(sequence(1L, weight), r ->
+          |  cast(conv(substring(md5(concat('wsmp:', cast(doc_id as string),
+          |    ':', cast(r as string))), 1, 15), 16, 10) as bigint)))""".stripMargin))
+    val ord = Seq(col("skey").asc, col("doc_id").asc)
+    val wSalted = Window.partitionBy(col("lang"), col("salt")).orderBy(ord: _*)
+    val wFinal = Window.partitionBy(col("lang")).orderBy(ord: _*)
+    withK
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+      .withColumn("prerank", row_number().over(wSalted))
+      .where(col("prerank") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("lang"), col("weight"),
+        col("rank").cast("long").as("rank"))
   }
 }

@@ -239,4 +239,99 @@ class SamplingSearchSpec extends SparkTestBase {
     val plan = TextOps.redactPii(corpus).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("weightedTopK: salted bottom-k == naive window; key is min of w independent draws") {
+    val got = Sampling.weightedTopK(docs, k = 15, salts = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // naive reference: recompute the replication key with an INDEPENDENT
+    // implementation (JVM MD5, not the Spark expression) and rank each
+    // whole language in one window
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val ref = docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .collect()
+      .map { r =>
+        val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val w = math.min(math.max(text.split(" ", -1).length / 20, 1), 8)
+        val key = (1 to w).map(rr => h60(s"wsmp:$id:$rr")).min
+        (id, lang, w.toLong, key)
+      }
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(t => (t._4, t._1)).take(15).zipWithIndex
+          .map { case ((id, lang, w, _), i) => (id, lang, w, (i + 1).toLong) }
+      }.toSet
+    assert(got === ref)
+    // weights vary on this corpus (the length term is live, 10–99 tokens
+    // at sf0.001 → w in [1, 4]) and respect the clamp
+    assert(got.map(_._3).toSeq.distinct.size > 1)
+    assert(got.map(_._3).forall(w => w >= 1L && w <= 8L))
+    // one projection computes the key: no explode-style Generate in the plan
+    val plan = Sampling.weightedTopK(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"unexpected row fan-out in:\n$plan")
+  }
+
+  test("weightedTopK: a heavier doc wins a tied-hash race it would lose at weight 1") {
+    // construction property, not statistics: on the SAME corpus, raising a
+    // doc's weight can only LOWER its min-key (monotone in w) — verified by
+    // recomputing keys at w and w+1 for the first 50 docs
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    for (id <- 1L to 50L; w <- 1 to 7) {
+      val kW = (1 to w).map(r => h60(s"wsmp:$id:$r")).min
+      val kW1 = (1 to (w + 1)).map(r => h60(s"wsmp:$id:$r")).min
+      assert(kW1 <= kW, s"min-key must be monotone non-increasing in w (doc $id)")
+    }
+  }
+
+  test("mixtureBudget: budgets realize the target shares; kept == naive prefix") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = rows(Sampling.mixtureBudget(docs))
+    // budgets: recompute the binding-stratum fixed point independently
+    val avail = docs.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Sampling.defaultShares
+      .map { case (l, s) => avail.getOrElse(l, 0L) * 10000L / s }.min
+    val budgets = Sampling.defaultShares
+      .map { case (l, s) => l -> s * total / 10000L }.toMap
+    got.groupBy(_._2).foreach { case (lang, ks) =>
+      assert(ks.forall(_._5 == budgets(lang)), s"budget mismatch for $lang")
+      assert(ks.map(_._4).max <= budgets(lang), s"$lang overflows its budget")
+    }
+    // naive reference: one running-prefix window per language
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10000L as "bucket")
+    val w = Window.partitionBy(col("lang")).orderBy(col("bucket").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .filter { case (_, lang, _, cum) => cum <= budgets(lang) }
+      .map { case (id, lang, n, cum) => (id, lang, n, cum, budgets(lang)) }
+      .toSet
+    assert(got === ref)
+    // the binding stratum nearly exhausts its budget (a doc-sized remainder)
+    val slack = got.groupBy(_._2).map { case (lang, ks) =>
+      budgets(lang) - ks.map(_._4).max }
+    assert(slack.min < 200L, s"no stratum binds: slack=$slack")
+  }
+
+  test("mixtureBudget: a share language absent from the corpus empties the result") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d", "en"), (2L, "e f", "de"))
+      .toDF("doc_id", "text", "lang")
+    assert(Sampling.mixtureBudget(corpus).isEmpty,
+      "zh/es/fr availability is 0, so the mixture total must bind to 0")
+  }
 }
