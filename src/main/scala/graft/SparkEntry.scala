@@ -502,6 +502,23 @@ object SparkEntry {
     // hash maximally separates OPTIONAL (left join) from a plain inner tail
     "kg_chain3_optional" -> ((s, dir) =>
       chain3(s, dir, "requiresLanguage")),
+    // -- SPARQL DESCRIBE (entity page): symmetric hop 1 off a pushed
+    // seed-IN filter, outbound-only hop 2 through one semi join — the
+    // postings requiring S001/LANG00 with their full outbound pages, plus
+    // the seeds' taxonomy parents (and THEIR parents at hop 2)
+    "kg_describe" -> ((s, dir) => {
+      import graft.kg.query.{Ontology, TripleStore}
+      val root = TripleStore.materializedTripleTable(
+        s, Pipeline.allTriplesRaw(
+          SyntheticCorpus.materializedPostings(s, dir),
+          Pipeline.defaultGazetteers(s)), tag = dir)
+      val ont = Ontology.taxonomyDf(s).select(col("child").as("subj"),
+        lit("is_a").as("pred"), col("parent").as("obj"))
+      TripleStore.describe(
+        s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
+          .union(ont),
+        Seq("S001", "LANG00"))
+    }),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -1530,6 +1547,26 @@ object SparkEntry {
     // OPTIONAL tail = declarative LEFT JOIN on the second taxonomy hop
     "kg_chain3_query" -> chain3Oracle("requiresSkill"),
     "kg_chain3_optional" -> chain3Oracle("requiresLanguage"),
+    // DESCRIBE stated declaratively: symmetric seed membership at hop 1,
+    // outbound closure of the hop-1 neighborhood at hop 2, MIN hop per
+    // triple — the exact contract of TripleStore.describe
+    "kg_describe" ->
+      s"""WITH triples AS ($allTriplesOracle
+         |  UNION ALL
+         |  SELECT child AS subj, 'is_a' AS pred, parent AS obj
+         |  FROM (VALUES $taxonomyValues) v(child, parent)),
+         |seeds(e) AS (VALUES ('S001'), ('LANG00')),
+         |h1 AS (SELECT subj, pred, obj FROM triples
+         |       WHERE subj IN (SELECT e FROM seeds)
+         |          OR obj IN (SELECT e FROM seeds)),
+         |fr AS (SELECT subj AS e FROM h1 UNION SELECT obj FROM h1
+         |       EXCEPT SELECT e FROM seeds),
+         |h2 AS (SELECT t.subj, t.pred, t.obj FROM triples t
+         |       JOIN fr ON t.subj = fr.e)
+         |SELECT subj, pred, obj, CAST(min(hop) AS BIGINT) AS hop FROM (
+         |  SELECT *, 1 AS hop FROM h1
+         |  UNION ALL SELECT *, 2 AS hop FROM h2)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

@@ -320,6 +320,44 @@ object TripleStore {
       .select(col("subj"), col("o1"), col("o2"), col("o3"))
   }
 
+  /** SPARQL DESCRIBE — the entity-page query: everything the KG says
+    * about a seed set, to bounded depth. Semantics (a CBD-style profile —
+    * DESCRIBE's exact extent is implementation-defined in the SPARQL
+    * spec, so the contract is stated here):
+    *  - hop 1 is SYMMETRIC: every triple whose subject OR object is a
+    *    seed (an entity page shows both "S001 is_a SCAT0" and "which
+    *    postings require S001");
+    *  - hop 2 is OUTBOUND ONLY from the hop-1 neighbor entities (the
+    *    CBD-style fan-out bound: following in-edges twice from a hub
+    *    seed would pull a quadratic neighborhood — depth-2 in-edges are
+    *    a different query, not a bigger DESCRIBE);
+    *  - a triple reachable at both depths reports its MINIMUM hop.
+    *
+    * Plan, sized for the 10^12-triple store: seeds are literals, so hop 1
+    * is ONE scan with a pushed `subj IN (…) OR obj IN (…)` filter (no
+    * join at all — parquet row-group pruning does the seed lookup); the
+    * hop-2 frontier is hop-1-neighborhood-sized and reaches the store
+    * through ONE left-semi equi-join on subj (never broadcast — a hub
+    * seed's frontier is corpus-scale); the final hop-min is a hash-agg
+    * over the described subgraph only. Nothing in the plan touches more
+    * than scan + semi + agg, and nothing is ever quadratic.
+    * Output: (subj, pred, obj, hop), hop ∈ {1, 2}.
+    */
+  def describe(triples: DataFrame, seeds: Seq[String]): DataFrame = {
+    require(seeds.nonEmpty, "describe needs at least one seed entity")
+    val t = triples.select(col("subj"), col("pred"), col("obj"))
+    val hop1 = t.where(col("subj").isin(seeds: _*) ||
+      col("obj").isin(seeds: _*))
+    val frontier = hop1.select(col("subj").as("entity"))
+      .union(hop1.select(col("obj").as("entity")))
+      .where(!col("entity").isin(seeds: _*))
+    val hop2 = t.join(frontier, t("subj") === frontier("entity"), "left_semi")
+    hop1.withColumn("hop", lit(1L))
+      .unionByName(hop2.withColumn("hop", lit(2L)))
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(min(col("hop")).as("hop"))
+  }
+
   /** PROPERTY-TABLE export: pivot the tall (subj, pred, obj) relation into
     * one wide row per subject — the feature-store / ML-export shape
     * downstream trainers and dashboards consume (and the classic RDF

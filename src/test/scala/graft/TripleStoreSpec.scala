@@ -241,4 +241,34 @@ class TripleStoreSpec extends SparkTestBase {
       "untouched subject was re-derived — the incremental contract is broken")
     assert(inc2("D2") === "T2" && inc2("D3") === "T3")
   }
+
+  test("describe: symmetric hop 1, outbound-only hop 2, min hop per triple") {
+    val t = Seq(
+      ("Java", "is_a", "SCAT0"), // seed outbound -> hop 1
+      ("SCAT0", "is_a", "Skill"), // frontier outbound -> hop 2
+      ("D1", "requiresSkill", "Java"), // seed inbound -> hop 1
+      ("D1", "hasTitle", "T1"), // hop-1 neighbor outbound -> hop 2
+      ("D2", "hasTitle", "T1"), // T1 is a hop-2 OBJECT only: D2 unreachable
+      ("D3", "locatedIn", "L9") // disconnected from the seed entirely
+    ).toDF("subj", "pred", "obj")
+    val r = TripleStore.describe(t, Seq("Java")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .toSet
+    assert(r === Set(
+      ("Java", "is_a", "SCAT0", 1L),
+      ("D1", "requiresSkill", "Java", 1L),
+      ("SCAT0", "is_a", "Skill", 2L),
+      ("D1", "hasTitle", "T1", 2L)),
+      "in-edges must not be followed at hop 2, and D3 must stay invisible")
+    // a triple reachable at both depths reports hop 1: make D1 also a seed,
+    // so (D1, hasTitle, T1) is hop-1 outbound AND hop-2 outbound-of-frontier
+    val r2 = TripleStore.describe(t, Seq("Java", "D1")).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(3))).toMap
+    assert(r2(("D1", "hasTitle")) === 1L)
+    // plan shape: the hop-2 reach is a semi join, and nothing is cartesian
+    val plan = TripleStore.describe(t, Seq("Java"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"hop 2 must be a semi join:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in describe plan:\n$plan")
+  }
 }
