@@ -39,7 +39,12 @@ object SparkEntry {
   /** The 3-hop chain over committed store (hop 1, partition-pruned) +
     * ontology is_a hops, OPTIONAL tail — shared by the two chain3 rows.
     */
-  private def chain3(s: SparkSession, dir: String, p1: String): DataFrame = {
+  /** The committed (pred, bucket)-partitioned store unioned with the
+    * metadata-sized is_a taxonomy — the input both chain3 and kg_describe
+    * consume (the read path and the is_a projection live only here).
+    */
+  private def committedTriplesWithOntology(s: SparkSession,
+      dir: String): DataFrame = {
     import graft.kg.query.{Ontology, TripleStore}
     val root = TripleStore.materializedTripleTable(
       s, Pipeline.allTriplesRaw(
@@ -47,11 +52,12 @@ object SparkEntry {
         Pipeline.defaultGazetteers(s)), tag = dir)
     val ont = Ontology.taxonomyDf(s).select(col("child").as("subj"),
       lit("is_a").as("pred"), col("parent").as("obj"))
-    TripleStore.chainQuery3(
-      s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
-        .union(ont),
-      p1, "is_a", "is_a")
+    s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
+      .union(ont)
   }
+  private def chain3(s: SparkSession, dir: String, p1: String): DataFrame =
+    graft.kg.query.TripleStore.chainQuery3(
+      committedTriplesWithOntology(s, dir), p1, "is_a", "is_a")
 
   private def entityEdges(s: SparkSession, dir: String): DataFrame =
     s.table(graft.kg.graph.GraphOps.materializedEdgeTable(
@@ -506,19 +512,8 @@ object SparkEntry {
     // seed-IN filter, outbound-only hop 2 through one semi join — the
     // postings requiring S001/LANG00 with their full outbound pages, plus
     // the seeds' taxonomy parents (and THEIR parents at hop 2)
-    "kg_describe" -> ((s, dir) => {
-      import graft.kg.query.{Ontology, TripleStore}
-      val root = TripleStore.materializedTripleTable(
-        s, Pipeline.allTriplesRaw(
-          SyntheticCorpus.materializedPostings(s, dir),
-          Pipeline.defaultGazetteers(s)), tag = dir)
-      val ont = Ontology.taxonomyDf(s).select(col("child").as("subj"),
-        lit("is_a").as("pred"), col("parent").as("obj"))
-      TripleStore.describe(
-        s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
-          .union(ont),
-        Seq("S001", "LANG00"))
-    }),
+    "kg_describe" -> ((s, dir) => graft.kg.query.TripleStore.describe(
+      committedTriplesWithOntology(s, dir), Seq("S001", "LANG00"))),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),

@@ -334,13 +334,18 @@ object TripleStore {
     *  - a triple reachable at both depths reports its MINIMUM hop.
     *
     * Plan, sized for the 10^12-triple store: seeds are literals, so hop 1
-    * is ONE scan with a pushed `subj IN (…) OR obj IN (…)` filter (no
-    * join at all — parquet row-group pruning does the seed lookup); the
-    * hop-2 frontier is hop-1-neighborhood-sized and reaches the store
-    * through ONE left-semi equi-join on subj (never broadcast — a hub
-    * seed's frontier is corpus-scale); the final hop-min is a hash-agg
-    * over the described subgraph only. Nothing in the plan touches more
-    * than scan + semi + agg, and nothing is ever quadratic.
+    * is a pushed `subj IN (…) OR obj IN (…)` scan filter (no join at
+    * all — parquet row-group pruning does the seed lookup). That pruned
+    * scan runs TWICE (once under the frontier derivation, once as the
+    * hop-1 output branch — DataFrame lineage recomputes shared subtrees,
+    * and a hub seed's page can be corpus-scale, so materializing it is
+    * worse than a second pruned scan); the frontier itself is ONE
+    * explode + distinct (deduped before the shuffle — an entity touching
+    * its seed through many triples probes the semi join once, not once
+    * per triple) and reaches the store through ONE left-semi equi-join on
+    * subj (never broadcast); the final hop-min is a hash-agg over the
+    * described subgraph only. Nothing in the plan touches more than
+    * scan + semi + agg, and nothing is ever quadratic.
     * Output: (subj, pred, obj, hop), hop ∈ {1, 2}.
     */
   def describe(triples: DataFrame, seeds: Seq[String]): DataFrame = {
@@ -348,9 +353,10 @@ object TripleStore {
     val t = triples.select(col("subj"), col("pred"), col("obj"))
     val hop1 = t.where(col("subj").isin(seeds: _*) ||
       col("obj").isin(seeds: _*))
-    val frontier = hop1.select(col("subj").as("entity"))
-      .union(hop1.select(col("obj").as("entity")))
+    val frontier = hop1
+      .select(explode(array(col("subj"), col("obj"))).as("entity"))
       .where(!col("entity").isin(seeds: _*))
+      .distinct()
     val hop2 = t.join(frontier, t("subj") === frontier("entity"), "left_semi")
     hop1.withColumn("hop", lit(1L))
       .unionByName(hop2.withColumn("hop", lit(2L)))

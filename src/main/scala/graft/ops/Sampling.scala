@@ -25,14 +25,27 @@ object Sampling {
   val defaultRates: Seq[(String, Long)] = Seq(
     ("en", 5000L), ("de", 2500L), ("fr", 2500L), ("es", 1000L), ("zh", 1000L))
 
-  /** Deterministic sampling bucket in [0, 10000): the 60-bit md5 integer of
-    * the salted doc id, mod 10⁴. The "smp:" salt decorrelates this hash from
-    * every other md5-of-doc_id use in the pipeline (a doc's sampling fate
-    * must not correlate with its dedup bucket).
+  /** The shared deterministic-bucket constructor: 60-bit md5 integer of the
+    * salted doc id, mod 10⁴. Each sampling operator instantiates it under
+    * its OWN salt so a doc's fate in one operator never correlates with its
+    * fate in another (or with its dedup bucket) — the salt is the only
+    * degree of freedom, so a portability or hash-width change lands in all
+    * operators (and must land in the DuckDB oracles) at once.
     */
-  private[graft] def bucket(docId: Column): Column =
-    conv(substring(md5(concat(lit("smp:"), docId.cast("string"))), 1, 15), 16, 10)
+  private def saltedBucket(salt: String)(docId: Column): Column =
+    conv(substring(md5(concat(lit(salt), docId.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 10000L
+
+  /** Null-safe whitespace token count: NULL text → NULL tokens (matching
+    * DuckDB's len(string_split(NULL))), independent of the session's
+    * spark.sql.legacy.sizeOfNull setting (legacy size(NULL) = -1 would
+    * silently shift every budget total by -1 per null doc).
+    */
+  private def nTokens: Column =
+    when(col("text").isNotNull, size(split(col("text"), " ")).cast("long"))
+
+  /** Deterministic Bernoulli-sampling bucket ("smp:"-salted). */
+  private[graft] def bucket(docId: Column): Column = saltedBucket("smp:")(docId)
 
   /** Rate-based stratified Bernoulli sample: keep a doc iff its bucket falls
     * below its language's rate. Plan: scan → broadcast-join the |langs|-row
@@ -63,19 +76,31 @@ object Sampling {
     * rows — then the final window ranks only ≤ k·salts survivors per lang.
     * Output: (doc_id, lang, rank), rank ∈ [1, k] by (bucket, doc_id).
     */
-  def stratifiedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame = {
-    val withB = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-      bucket(col("doc_id")).as("bucket"))
-    val ord = Seq(col("bucket").asc, col("doc_id").asc)
+  def stratifiedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame =
+    saltedBottomK(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        bucket(col("doc_id")).as("bucket")),
+      keyCol = "bucket", k = k, salts = salts)
+      .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
+
+  /** The two-level salted bottom-k selection shared by [[stratifiedTopK]]
+    * and [[weightedTopK]]: rank per (lang, salt) first — each task sorts
+    * ~|stratum|/salts rows — keep ≤ k per salted group, then rank the
+    * ≤ k·salts survivors per lang. Provably identical to one whole-stratum
+    * window ordered by (`keyCol` asc, doc_id asc), but no task ever sorts a
+    * whole stratum. Adds a `rank` ∈ [1, k] column; selection mechanics
+    * (salt count, tie-break, prerank bound) live ONLY here.
+    */
+  private def saltedBottomK(df: DataFrame, keyCol: String, k: Int,
+      salts: Int): DataFrame = {
+    val ord = Seq(col(keyCol).asc, col("doc_id").asc)
     val wSalted = Window.partitionBy(col("lang"), col("salt")).orderBy(ord: _*)
     val wFinal = Window.partitionBy(col("lang")).orderBy(ord: _*)
-    withB
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+    df.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
       .withColumn("prerank", row_number().over(wSalted))
       .where(col("prerank") <= k)
       .withColumn("rank", row_number().over(wFinal))
       .where(col("rank") <= k)
-      .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
   }
 
   /** The budget-fill bucket hash: same 60-bit-md5-mod-10⁴ construction as
@@ -83,8 +108,7 @@ object Sampling {
     * Bernoulli-sampling bucket.
     */
   private[graft] def budgetBucket(docId: Column): Column =
-    conv(substring(md5(concat(lit("bud:"), docId.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 10000L
+    saltedBucket("bud:")(docId)
 
   /** TOKEN-BUDGET sampling — "give me ≤ B training tokens per source,
     * deterministically": the mixture knob real pretraining runs configure is
@@ -117,7 +141,7 @@ object Sampling {
   def tokenBudget(docs: DataFrame, budget: Long = 600L): DataFrame =
     prefixFill(
       docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          nTokens.as("n_tokens"),
           budgetBucket(col("doc_id")).as("bucket"))
         .withColumn("budget", lit(budget)),
       "source")
@@ -164,8 +188,7 @@ object Sampling {
     * doc's mixture fate is independent of its Bernoulli/budget buckets.
     */
   private[graft] def mixBucket(docId: Column): Column =
-    conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 10000L
+    saltedBucket("mix:")(docId)
 
   /** MIXTURE-targeted token budgets — "give me the LARGEST corpus whose
     * language composition is exactly `shares`": the way real pretraining
@@ -180,7 +203,10 @@ object Sampling {
     *
     * Scale shape: pass 1 is one partial-agg (map-side combine) to |langs|
     * rows; total/budgets are metadata-scale (|langs| rows, one broadcast);
-    * pass 2 is the prefixFill. Budgets use decimal(38,0) intermediates:
+    * pass 2 is the prefixFill. The 3-column corpus projection is evaluated
+    * by the availability agg AND by prefixFill's histogram + join —
+    * deliberately unpersisted: caching a corpus-scale projection costs more
+    * memory/spill at 100 TB than re-running a pruned 3-column scan. Budgets use decimal(38,0) intermediates:
     * share·total overflows int64 around 1e15 available tokens — a corpus
     * size this engine is explicitly designed for. A share language absent
     * from the corpus makes the mixture infeasible: T=0 binds total to 0 and
@@ -195,7 +221,7 @@ object Sampling {
     import session.implicits._
     val s = shares.toDF("lang", "share_e4")
     val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      nTokens.as("n_tokens"),
       mixBucket(col("doc_id")).as("bucket"))
     // availability pass: |langs| rows after map-side partial agg; LEFT join
     // from shares so an absent stratum yields T=0 (infeasible mixture)
@@ -232,25 +258,25 @@ object Sampling {
     * bottom-k as [[stratifiedTopK]] (no task ever sorts a whole stratum).
     * Output: (doc_id, lang, weight, rank), rank ∈ [1,k] by (key, doc_id).
     */
-  def weightedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame = {
-    val withK = docs
-      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-        expr("cast(least(greatest(size(split(text, ' ')) div 20, 1), 8) " +
-          "as bigint)").as("weight"))
-      .withColumn("skey", expr(
-        """array_min(transform(sequence(1L, weight), r ->
-          |  cast(conv(substring(md5(concat('wsmp:', cast(doc_id as string),
-          |    ':', cast(r as string))), 1, 15), 16, 10) as bigint)))""".stripMargin))
-    val ord = Seq(col("skey").asc, col("doc_id").asc)
-    val wSalted = Window.partitionBy(col("lang"), col("salt")).orderBy(ord: _*)
-    val wFinal = Window.partitionBy(col("lang")).orderBy(ord: _*)
-    withK
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
-      .withColumn("prerank", row_number().over(wSalted))
-      .where(col("prerank") <= k)
-      .withColumn("rank", row_number().over(wFinal))
-      .where(col("rank") <= k)
+  def weightedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame =
+    saltedBottomK(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          // NULL text → NULL div → greatest picks the 1 floor (greatest
+          // ignores NULLs in Spark AND DuckDB — identical minimum weight)
+          expr("cast(least(greatest(size(split(text, ' ')) div 20, 1), 8) " +
+            "as bigint)").as("weight"))
+        .withColumn("skey", wsmpKey),
+      keyCol = "skey", k = k, salts = salts)
       .select(col("doc_id"), col("lang"), col("weight"),
         col("rank").cast("long").as("rank"))
-  }
+
+  /** The production replication key of [[weightedTopK]]: min of `weight`
+    * independent 60-bit draws "wsmp:doc_id:r", r = 1..weight, in ONE
+    * codegen'd projection (no explode). Exposed so the spec's monotonicity
+    * fixture exercises THIS expression, not a test-local reimplementation.
+    */
+  private[graft] def wsmpKey: Column = expr(
+    """array_min(transform(sequence(1L, weight), r ->
+      |  cast(conv(substring(md5(concat('wsmp:', cast(doc_id as string),
+      |    ':', cast(r as string))), 1, 15), 16, 10) as bigint)))""".stripMargin)
 }

@@ -273,20 +273,28 @@ class SamplingSearchSpec extends SparkTestBase {
     assert(!plan.contains("Generate"), s"unexpected row fan-out in:\n$plan")
   }
 
-  test("weightedTopK: a heavier doc wins a tied-hash race it would lose at weight 1") {
-    // construction property, not statistics: on the SAME corpus, raising a
-    // doc's weight can only LOWER its min-key (monotone in w) — verified by
-    // recomputing keys at w and w+1 for the first 50 docs
+  test("weightedTopK: the PRODUCTION key is monotone non-increasing in weight") {
+    // construction property, not statistics: raising a doc's weight can only
+    // LOWER its min-key — evaluated through Sampling.wsmpKey (the exact
+    // expression weightedTopK ranks on), at every (doc, weight) pair, so a
+    // regression in the production min-of-w construction (wrong salt, wrong
+    // sequence bound) fails HERE, not only in the big equivalence fixture
+    import spark.implicits._
+    val grid = (for (id <- 1L to 50L; w <- 1L to 8L) yield (id, w))
+      .toDF("doc_id", "weight")
+    val keys = grid.withColumn("skey", Sampling.wsmpKey).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (id <- 1L to 50L; w <- 1L to 7L)
+      assert(keys((id, w + 1)) <= keys((id, w)),
+        s"min-key must be monotone non-increasing in w (doc $id, w=$w)")
+    // and the draw itself matches an independent JVM MD5 at w = 1
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(d.substring(0, 15), 16)
     }
-    for (id <- 1L to 50L; w <- 1 to 7) {
-      val kW = (1 to w).map(r => h60(s"wsmp:$id:$r")).min
-      val kW1 = (1 to (w + 1)).map(r => h60(s"wsmp:$id:$r")).min
-      assert(kW1 <= kW, s"min-key must be monotone non-increasing in w (doc $id)")
-    }
+    for (id <- 1L to 50L)
+      assert(keys((id, 1L)) === h60(s"wsmp:$id:1"))
   }
 
   test("mixtureBudget: budgets realize the target shares; kept == naive prefix") {
