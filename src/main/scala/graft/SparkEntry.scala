@@ -59,6 +59,17 @@ object SparkEntry {
     graft.kg.query.TripleStore.chainQuery3(
       committedTriplesWithOntology(s, dir), p1, "is_a", "is_a")
 
+  /** The kg_ask question set — shared verbatim with the oracle:
+    * (name, predicate, optional object constant). located_loc99 is the
+    * planted NO (the corpus emits LOC00–LOC11 only): an ASK suite whose
+    * every answer is 1 would verify nothing about the absent case.
+    */
+  private val askQuestions: Seq[(String, String, Option[String])] = Seq(
+    ("any_posting_titled", "hasTitle", None),
+    ("requires_s001", "requiresSkill", Some("S001")),
+    ("located_loc99", "locatedIn", Some("LOC99")),
+    ("skill_is_a_root", "is_a", Some("Skill")))
+
   private def entityEdges(s: SparkSession, dir: String): DataFrame =
     s.table(graft.kg.graph.GraphOps.materializedEdgeTable(
       s, Pipeline.allTriples(
@@ -514,6 +525,15 @@ object SparkEntry {
     // the seeds' taxonomy parents (and THEIR parents at hop 2)
     "kg_describe" -> ((s, dir) => graft.kg.query.TripleStore.describe(
       committedTriplesWithOntology(s, dir), Seq("S001", "LANG00"))),
+    // -- SPARQL CONSTRUCT: materialize the inferred requiresCategory
+    // relation from the requiresSkill ∘ is_a path, back in triple shape
+    "kg_construct" -> ((s, dir) => graft.kg.query.TripleStore.construct(
+      committedTriplesWithOntology(s, dir),
+      "requiresSkill", "is_a", "requiresCategory")),
+    // -- SPARQL ASK, batched: four existence questions (incl. one
+    // guaranteed-absent object) in one partition-pruned pass
+    "kg_ask" -> ((s, dir) => graft.kg.query.TripleStore.askBatch(
+      committedTriplesWithOntology(s, dir), askQuestions)),
     // -- multimodal: media spans + (stub) decoded metadata -------------------
     "kg_media_meta" -> ((s, dir) =>
       Media.metadata(SyntheticCorpus.materializedPostings(s, dir))),
@@ -1562,6 +1582,33 @@ object SparkEntry {
          |  SELECT *, 1 AS hop FROM h1
          |  UNION ALL SELECT *, 2 AS hop FROM h2)
          |GROUP BY 1, 2, 3""".stripMargin,
+    // CONSTRUCT stated declaratively: the template triple per distinct
+    // (subject, category) binding of the requiresSkill ∘ is_a path
+    "kg_construct" ->
+      s"""WITH triples AS ($allTriplesOracle),
+         |tax(child, parent) AS (SELECT * FROM (VALUES $taxonomyValues) v(child, parent))
+         |SELECT DISTINCT t.subj, 'requiresCategory' AS pred, x.parent AS obj
+         |FROM triples t JOIN tax x ON t.obj = x.child
+         |WHERE t.pred = 'requiresSkill'""".stripMargin,
+    // ASK stated as four scalar existence aggregates over the same
+    // triples ∪ taxonomy relation — question set shared with askQuestions
+    "kg_ask" ->
+      s"""WITH triples AS ($allTriplesOracle
+         |  UNION ALL
+         |  SELECT child AS subj, 'is_a' AS pred, parent AS obj
+         |  FROM (VALUES $taxonomyValues) v(child, parent))
+         |SELECT 'any_posting_titled' AS question, CAST(max(CASE WHEN
+         |  pred = 'hasTitle' THEN 1 ELSE 0 END) AS BIGINT) AS answer
+         |FROM triples
+         |UNION ALL
+         |SELECT 'requires_s001', CAST(max(CASE WHEN pred = 'requiresSkill'
+         |  AND obj = 'S001' THEN 1 ELSE 0 END) AS BIGINT) FROM triples
+         |UNION ALL
+         |SELECT 'located_loc99', CAST(max(CASE WHEN pred = 'locatedIn'
+         |  AND obj = 'LOC99' THEN 1 ELSE 0 END) AS BIGINT) FROM triples
+         |UNION ALL
+         |SELECT 'skill_is_a_root', CAST(max(CASE WHEN pred = 'is_a'
+         |  AND obj = 'Skill' THEN 1 ELSE 0 END) AS BIGINT) FROM triples""".stripMargin,
     "kg_canonical" -> canonicalOracle,
     "kg_canonical_increment" -> canonicalOracle,
     "kg_media_meta" ->

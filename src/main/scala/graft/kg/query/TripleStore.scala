@@ -364,6 +364,57 @@ object TripleStore {
       .agg(min(col("hop")).as("hop"))
   }
 
+  /** SPARQL CONSTRUCT — the graph-PRODUCING query form: match the two-hop
+    * BGP `?s p1 ?o . ?o p2 ?o2` and instantiate the template triple
+    * `(?s, newPred, ?o2)` for every binding — e.g. `?d requiresSkill ?sk .
+    * ?sk is_a ?cat → ?d requiresCategory ?cat`, the query that
+    * materializes an inferred relation back INTO triple shape (vs the
+    * SELECT-style binding output every other BGP entry returns). DISTINCT
+    * because distinct paths can instantiate the SAME template triple (two
+    * skills in one category) and a graph is a set.
+    *
+    * Plan: [[chainQuery]]'s two partition-pruned per-predicate scans with
+    * the hop-2 side broadcast when ontology-sized, then one fused distinct
+    * (partial-agg, map-side combine) — no new exchange genre; the output
+    * unions directly back into the store's (subj, pred, obj) schema.
+    */
+  def construct(triples: DataFrame, p1: String, p2: String, newPred: String,
+      broadcastHop: Boolean = true): DataFrame =
+    chainQuery(triples, p1, p2, broadcastHop)
+      .select(col("subj"), lit(newPred).as("pred"), col("o2").as("obj"))
+      .distinct()
+
+  /** SPARQL ASK, batched — k boolean existence questions answered in ONE
+    * pass: each question is (name, predicate, optional object constant);
+    * the answer is whether ANY triple matches. One max-of-indicator
+    * aggregate per question over a single scan (map-side partial agg
+    * collapses every task to k integers — never a count of the full match
+    * set, never k scans), and the scan is restricted to the questioned
+    * predicates up front, so on the committed pred-partitioned store it is
+    * PARTITION-PRUNED to exactly the partitions the questions touch. A
+    * single highly-selective ASK can short-circuit harder (pruned scan +
+    * LIMIT 1); the batch form instead amortizes one pass over all k — the
+    * right trade when ASKs arrive in validation suites, not one-offs.
+    * Output: (question, answer), answer ∈ {0, 1} as bigint — k rows.
+    */
+  def askBatch(triples: DataFrame,
+      questions: Seq[(String, String, Option[String])]): DataFrame = {
+    require(questions.nonEmpty, "askBatch needs at least one question")
+    val preds = questions.map(_._2).distinct
+    val scoped = triples.where(col("pred").isin(preds: _*))
+    val inds = questions.map { case (name, p, o) =>
+      // coalesce: an all-questioned-predicates-absent corpus aggregates
+      // over zero rows — the answer is 0 (no match), never NULL
+      coalesce(max(when(col("pred") === p &&
+        o.map(col("obj") === _).getOrElse(lit(true)), 1L).otherwise(0L)),
+        lit(0L)).as(name)
+    }
+    scoped.agg(inds.head, inds.tail: _*)
+      .selectExpr(s"stack(${questions.size}, " +
+        questions.map { case (n, _, _) => s"'$n', `$n`" }.mkString(", ") +
+        ") as (question, answer)")
+  }
+
   /** PROPERTY-TABLE export: pivot the tall (subj, pred, obj) relation into
     * one wide row per subject — the feature-store / ML-export shape
     * downstream trainers and dashboards consume (and the classic RDF

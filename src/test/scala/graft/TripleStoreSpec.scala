@@ -271,4 +271,44 @@ class TripleStoreSpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"), s"hop 2 must be a semi join:\n$plan")
     assert(!plan.contains("Cartesian"), s"cartesian in describe plan:\n$plan")
   }
+
+  test("construct: template triples per path binding, deduped, in store schema") {
+    val t = Seq(
+      ("D1", "requiresSkill", "Java"),
+      ("D1", "requiresSkill", "Scala"),
+      ("D2", "requiresSkill", "Java"),
+      ("Java", "is_a", "JVM"), // D1 reaches JVM via Java AND Scala: ONE triple
+      ("Scala", "is_a", "JVM"),
+      ("D1", "hasTitle", "T1"), // wrong p1: no template triple
+      ("T1", "is_a", "Title") // p2 row never entered through p1: unreachable
+    ).toDF("subj", "pred", "obj")
+    val r = TripleStore.construct(t, "requiresSkill", "is_a", "requiresCategory")
+    assert(r.columns.toSeq === Seq("subj", "pred", "obj"),
+      "CONSTRUCT must emit the store's own schema")
+    val rows = r.collect().map(x =>
+      (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(rows === Set(
+      ("D1", "requiresCategory", "JVM"),
+      ("D2", "requiresCategory", "JVM")),
+      "two paths to the same category must collapse to one template triple")
+  }
+
+  test("askBatch: present/absent/object-constrained answers; 0 not NULL on empty") {
+    val t = Seq(
+      ("D1", "hasTitle", "T1"),
+      ("D1", "requiresSkill", "Java")
+    ).toDF("subj", "pred", "obj")
+    val r = TripleStore.askBatch(t, Seq(
+      ("has_any_title", "hasTitle", None),
+      ("requires_java", "requiresSkill", Some("Java")),
+      ("requires_cobol", "requiresSkill", Some("Cobol")),
+      ("located_anywhere", "locatedIn", None)))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("has_any_title" -> 1L, "requires_java" -> 1L,
+      "requires_cobol" -> 0L, "located_anywhere" -> 0L))
+    // every questioned predicate absent: answers must be 0, never NULL
+    val empty = TripleStore.askBatch(t, Seq(("nothing", "postedBy", None)))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(empty === Map("nothing" -> 0L))
+  }
 }
