@@ -27,21 +27,10 @@ object SparkEntry {
   private def spans(s: SparkSession, dir: String): DataFrame =
     Extractors.textSpans(SyntheticCorpus.materializedPostings(s, dir))
 
-  /** The bucketed co-occurrence edge TABLE — the production entry every
-    * ITERATED graph consumer below reads (pagerank/LPA/BFS/walk/peel
-    * rounds re-join edges on `x` each iteration; against this layout the
-    * edge side arrives partitioned and sorted FROM THE SCAN, no
-    * per-iteration exchange). Build-once per (tag, buckets) via
-    * [[graft.kg.graph.GraphOps.materializedEdgeTable]]; `kg_entity_pagerank`
-    * deliberately stays on the in-session pinned-edges path as the
-    * exploration-scale contrast (same oracle both ways).
-    */
-  /** The 3-hop chain over committed store (hop 1, partition-pruned) +
-    * ontology is_a hops, OPTIONAL tail — shared by the two chain3 rows.
-    */
   /** The committed (pred, bucket)-partitioned store unioned with the
-    * metadata-sized is_a taxonomy — the input both chain3 and kg_describe
-    * consume (the read path and the is_a projection live only here).
+    * metadata-sized is_a taxonomy — the input chain3, kg_describe,
+    * kg_construct and kg_ask consume (the read path and the is_a
+    * projection live only here).
     */
   private def committedTriplesWithOntology(s: SparkSession,
       dir: String): DataFrame = {
@@ -55,6 +44,9 @@ object SparkEntry {
     s.read.parquet(root).select(col("subj"), col("pred"), col("obj"))
       .union(ont)
   }
+  /** The 3-hop chain over committed store (hop 1, partition-pruned) +
+    * ontology is_a hops, OPTIONAL tail — shared by the two chain3 rows.
+    */
   private def chain3(s: SparkSession, dir: String, p1: String): DataFrame =
     graft.kg.query.TripleStore.chainQuery3(
       committedTriplesWithOntology(s, dir), p1, "is_a", "is_a")
@@ -70,6 +62,15 @@ object SparkEntry {
     ("located_loc99", "locatedIn", Some("LOC99")),
     ("skill_is_a_root", "is_a", Some("Skill")))
 
+  /** The bucketed co-occurrence edge TABLE — the production entry every
+    * ITERATED graph consumer below reads (pagerank/LPA/BFS/walk/peel
+    * rounds re-join edges on `x` each iteration; against this layout the
+    * edge side arrives partitioned and sorted FROM THE SCAN, no
+    * per-iteration exchange). Build-once per (tag, buckets) via
+    * [[graft.kg.graph.GraphOps.materializedEdgeTable]]; `kg_entity_pagerank`
+    * deliberately stays on the in-session pinned-edges path as the
+    * exploration-scale contrast (same oracle both ways).
+    */
   private def entityEdges(s: SparkSession, dir: String): DataFrame =
     s.table(graft.kg.graph.GraphOps.materializedEdgeTable(
       s, Pipeline.allTriples(

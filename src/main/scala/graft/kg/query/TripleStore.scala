@@ -400,6 +400,14 @@ object TripleStore {
   def askBatch(triples: DataFrame,
       questions: Seq[(String, String, Option[String])]): DataFrame = {
     require(questions.nonEmpty, "askBatch needs at least one question")
+    // names are spliced into a selectExpr: reject duplicates (ambiguous
+    // column reference) and non-identifier characters (SQL-literal breakage
+    // / expression injection) at the contract, not as an AnalysisException
+    val names = questions.map(_._1)
+    require(names.distinct.size == names.size,
+      s"askBatch question names must be distinct: $names")
+    require(names.forall(_.matches("[A-Za-z][A-Za-z0-9_]*")),
+      s"askBatch question names must be plain identifiers: $names")
     val preds = questions.map(_._2).distinct
     val scoped = triples.where(col("pred").isin(preds: _*))
     val inds = questions.map { case (name, p, o) =>

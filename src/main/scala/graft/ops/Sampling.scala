@@ -261,10 +261,12 @@ object Sampling {
   def weightedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame =
     saltedBottomK(
       docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-          // NULL text → NULL div → greatest picks the 1 floor (greatest
-          // ignores NULLs in Spark AND DuckDB — identical minimum weight)
-          expr("cast(least(greatest(size(split(text, ' ')) div 20, 1), 8) " +
-            "as bigint)").as("weight"))
+          // token count via the shared nTokens guard; NULL text → NULL,
+          // and greatest picks the 1 floor (greatest ignores NULLs in
+          // Spark AND DuckDB — identical minimum weight). floor(x/20) on
+          // exact-integer doubles < 2^53 equals integer div 20.
+          least(greatest(floor(nTokens / lit(20)).cast("long"), lit(1L)),
+            lit(8L)).as("weight"))
         .withColumn("skey", wsmpKey),
       keyCol = "skey", k = k, salts = salts)
       .select(col("doc_id"), col("lang"), col("weight"),
