@@ -343,7 +343,9 @@ object TripleStore {
     * explode + distinct (deduped before the shuffle — an entity touching
     * its seed through many triples probes the semi join once, not once
     * per triple) and reaches the store through ONE left-semi equi-join on
-    * subj (never broadcast); the final hop-min is a hash-agg over the
+    * subj (AQE sizes the build side at runtime: broadcast for a typical
+    * entity page, shuffled semi when a hub seed makes the frontier
+    * corpus-scale); the final hop-min is a hash-agg over the
     * described subgraph only. Nothing in the plan touches more than
     * scan + semi + agg, and nothing is ever quadratic.
     * Output: (subj, pred, obj, hop), hop ∈ {1, 2}.

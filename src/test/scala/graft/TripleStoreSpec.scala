@@ -272,6 +272,25 @@ class TripleStoreSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), s"cartesian in describe plan:\n$plan")
   }
 
+  test("describe off the committed store: the seed filter is PUSHED to the scan") {
+    val raw = triples
+      .withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("src_offset", org.apache.spark.sql.functions.lit(0))
+    val root = TripleStore.materializedTripleTable(spark, raw, tag = "triplestorespec-d")
+    import spark.implicits._
+    val ont = Seq(("Java", "is_a", "CAT_JVM")).toDF("subj", "pred", "obj")
+    val q = TripleStore.describe(
+      spark.read.parquet(root).select("subj", "pred", "obj").union(ont),
+      Seq("Java", "D1"))
+    assert(q.collect().nonEmpty)
+    // the scaladoc's claim, asserted: the seed lookup reaches the parquet
+    // scan as a pushed OR-of-IN filter (row-group pruning), not a
+    // post-scan Filter over the whole store
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or(In(subj"),
+      s"seed IN filter not pushed to the scan in:\n${plan.take(3000)}")
+  }
+
   test("construct: template triples per path binding, deduped, in store schema") {
     val t = Seq(
       ("D1", "requiresSkill", "Java"),
