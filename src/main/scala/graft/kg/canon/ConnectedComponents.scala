@@ -38,7 +38,11 @@ object ConnectedComponents {
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    // no distinct here: [[smallStar]] (the only consumer) starts with its
+    // own orient+distinct over the same keys, so this one bought set
+    // semantics nobody reads at the cost of one extra Exchange+agg PER
+    // ROUND (×O(log n) rounds ×every CC caller); volume is bounded at |e|
+    // rows either way (each large-endpoint orientation emits one row)
   }
 
   /** Small-star: orient edges from larger to smaller endpoint; for every node

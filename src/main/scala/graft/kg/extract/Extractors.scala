@@ -67,7 +67,11 @@ object Extractors {
     * Output: (doc_id, surface, entity_id, canonical, offset).
     */
   def ngramMentions(spans: DataFrame, gaz: DataFrame, maxN: Int = 2): DataFrame = {
-    val tokens = split(col("text"), " ")
+    // tokens are PROJECTED before the gram lambdas (separate select): HOF
+    // lambdas evaluate interpreted with no loop-invariant hoisting, so a
+    // split() inside the lambda body re-splits the span once per gram
+    // position — O(tokens²) per row. One split per row, identical grams.
+    val tokens = col("ts")
     val grams: Seq[Column] = (1 to maxN).map { n =>
       when(size(tokens) >= n,
         transform(sequence(lit(1), size(tokens) - (n - 1)), k =>
@@ -75,6 +79,7 @@ object Extractors {
         .otherwise(typedLit(Seq.empty[String]))
     }
     spans
+      .select(col("doc_id"), col("offset"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("offset"), explode(flatten(array(grams: _*))).as("gram"))
       .join(broadcast(gaz), col("gram") === col("surface"))
       .select(col("doc_id"), col("surface"), col("entity_id"), col("canonical"), col("offset"))
@@ -123,7 +128,11 @@ object Extractors {
       col("kind") === "footer" && col("text").rlike("\\b(AG|GmbH|SA)$"),
       array(cand("company", trim(col("text"))))).otherwise(emptyCands)
 
-    val tokens = split(col("text"), " ")
+    // tokens projected before the gram lambdas (the [[ngramMentions]]
+    // hoist): a split() inside the interpreted 2-gram lambda would re-split
+    // the span once per gram position — O(tokens²) per row on the single
+    // corpus-scan hot path of Pipeline.allTriples
+    val tokens = col("ts")
     val oneGrams = transform(filter(tokens, t => GazetteerIO.upperStart(t)),
       t => cand("gram", t))
     val twoGrams = when(col("kind").isin(twoGramKinds.map(x => x: Any): _*) && size(tokens) >= 2,
@@ -136,6 +145,8 @@ object Extractors {
       concat(oneGrams, twoGrams)).otherwise(emptyCands)
 
     spans
+      .select(col("doc_id"), col("kind"), col("offset"), col("text"),
+        split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("kind"), col("offset"),
         explode(concat(title, workload, company, grams)).as("c"))
       .select(col("doc_id"), col("c.ctype").as("ctype"), col("c.payload").as("payload"),
@@ -172,7 +183,9 @@ object Extractors {
     // lowercase — filtering tokens by first char before the gram explode
     // drops ~95% of gram rows (and the memory traffic that dominates this
     // stage) without changing results.
-    val tokens = split(col("text"), " ")
+    // tokens projected before the gram lambdas (the [[ngramMentions]]
+    // hoist: no split() inside an interpreted lambda body)
+    val tokens = col("ts")
     val oneGrams = filter(tokens, t => GazetteerIO.upperStart(t))
     val twoGrams = when(col("kind").isin(multiTokenKinds.map(x => x: Any): _*) &&
         size(tokens) >= 2,
@@ -181,6 +194,8 @@ object Extractors {
       .otherwise(typedLit(Seq.empty[String]))
     spans
       .where(col("kind").isin(gazByKind.map(_._1: Any): _*))
+      .select(col("doc_id"), col("kind"), col("offset"),
+        split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("kind"), col("offset"),
         explode(concat(oneGrams, twoGrams)).as("gram"))
       .join(broadcast(dim),

@@ -295,7 +295,10 @@ object HtmlSpans {
     */
   def htmlCorpus(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
-    val tokens = split(col("text"), " ")
+    // tokens projected first (extra select below): the chunk lambda slices
+    // them three times per chunk, and an inline split() would re-evaluate
+    // per slice in the interpreted HOF — O(tokens²) per doc
+    val tokens = col("ts")
     val nb = ((size(tokens) + 7) / 8).cast("int")
     val title = concat(lit("<title>posting "), d.cast("string"), lit("</title>"))
     val chunkFrags = transform(sequence(lit(0), nb - 1), i => {
@@ -321,6 +324,7 @@ object HtmlSpans {
     // expressions that reference col("doc_id") would rebind them laterally
     // (the SyntheticCorpus.fromDocuments gotcha)
     docs
+      .select(d, col("source"), split(col("text"), " ").as("ts"))
       .select(d, concat_ws("\n", title,
         array_join(chunkFrags, "\n"), footer).as("html"))
       .select(col("doc_id").cast("string").as("doc_id"), col("html"))

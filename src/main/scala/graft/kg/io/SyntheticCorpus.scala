@@ -65,7 +65,18 @@ object SyntheticCorpus {
   def materializedPostings(spark: SparkSession, sfDir: String): DataFrame = {
     val path = materialized.getOrElseUpdate(sfDir, {
       val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
-      postings(spark, sfDir).write.mode("overwrite").parquet(dir)
+      // File layout of the standing table (optimization guide §6): written
+      // as session-parallelism many key-clustered files, NOT whatever the
+      // derivation's partitioning happens to be. The derivation reads the
+      // driver's documents.parquet (one small file at harness scale → ONE
+      // write partition), and a single parquet file under
+      // maxPartitionBytes = ONE scan task — which serialized the first
+      // (CPU-dense candidate/gram explode) stage of every downstream query
+      // on one core. Explicit N: an expression-only repartition is
+      // AQE-coalescible right back to one file.
+      val np = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      postings(spark, sfDir).repartition(np, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
       dir
     })
     spark.read.parquet(path)

@@ -73,7 +73,30 @@ object Dedup {
           "case when i % 10 = 0 then 'xdup' else t end), ' ')").as("text"))
     val copies = base.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    base.unionByName(mutated).unionByName(copies)
+    spreadSmall(base.unionByName(mutated).unionByName(copies), col("doc_id"))
+  }
+
+  /** SMALL-INPUT parallelism guard (guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read", applied
+    * to the under-split case): when the source relation is too small for
+    * the scan to produce anywhere near session-parallelism many splits
+    * (estimate < np × files.maxPartitionBytes — below that, ≥ np splits
+    * are impossible), the CPU-dense per-row derivations downstream (window
+    * fingerprints, signature hashing, per-token aggregation) run on the
+    * scan's 1–3 tasks while the rest of the machine idles. One key-hashed
+    * repartition (deterministic — never rand-derived, see guide §2.5)
+    * spreads them; above the threshold the scan already parallelizes and
+    * NO extra exchange is inserted, so the 100 TB plan is unchanged.
+    */
+  private[graft] def spreadSmall(df: DataFrame, key: Column): DataFrame = {
+    val conf = df.sparkSession.conf
+    val np = conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(np.toLong) * maxPart)
+      df.repartition(np, key)
+    else df
   }
 
   /** Collision-resistant content key for exact-equality grouping: sha2-256.
@@ -104,9 +127,17 @@ object Dedup {
     * to members afterwards.
     */
   private[graft] def exactCollapse(corpus: DataFrame): (DataFrame, DataFrame) = {
+    // explicit partition count (the IncrementalDedup fold discipline): an
+    // expression-only repartition is AQE-coalescible, and on a small input
+    // AQE folds this exchange to ONE partition — which then serializes every
+    // CPU-dense consumer stage downstream of reps (shingle generation, the
+    // k-hash signature agg) onto one core. With the explicit session
+    // parallelism the plan is unchanged at scale (the exchange would have
+    // had np partitions anyway) and the small-input case keeps all cores.
+    val np = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hashed = corpus
       .select(col("doc_id"), col("text"), contentKey(col("text")).as("gh"))
-      .repartition(col("gh"))
+      .repartition(np, col("gh"))
     val reps = hashed.groupBy(col("gh"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
       .select(col("gh"), col("r.doc_id").as("rep_id"), col("r.text").as("text"))
@@ -176,13 +207,23 @@ object Dedup {
     * old persist-and-clearCache contract).
     */
   def shingles(corpus: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = when(size(toks) >= n, expr(
-      s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
-        s"i -> array_join(slice(split(text, ' '), i, $n), ' '))"))
+    // `ts` is PROJECTED first so the lambda slices a bound column: higher-
+    // order functions evaluate interpreted with no loop-invariant hoisting,
+    // so a `split(text, ' ')` INSIDE the lambda body re-splits the document
+    // once per shingle position — O(tokens²) work per row (guide §1.2 step
+    // 2 / §4: fix the per-task expression work). One split per row, same
+    // shingle strings.
+    val grams = when(size(col("ts")) >= n, expr(
+      s"transform(sequence(1, size(ts) - ${n - 1}), " +
+        s"i -> array_join(slice(ts, i, $n), ' '))"))
       .otherwise(expr("cast(array() as array<string>)"))
-    corpus.select(col("doc_id"), explode(grams).as("s"))
-      .repartition(col("doc_id"))
+    val np = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    corpus.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(grams).as("s"))
+      // explicit np: same rationale as exactCollapse — AQE would coalesce
+      // the small-input exchange to one partition and serialize the
+      // signature/verify consumers hanging off this ONE shared exchange
+      .repartition(np, col("doc_id"))
       .distinct()
   }
 
@@ -660,12 +701,15 @@ object Dedup {
     * how many duplicated windows merged into it.
     */
   def duplicatePassages(corpus: DataFrame, w: Int = 8): DataFrame = {
-    val winHashes = when(size(split(col("text"), " ")) >= w, expr(
-      s"""transform(sequence(1, size(split(text, ' ')) - ${w - 1}),
-         |  i -> cast(conv(substring(md5(array_join(slice(split(text, ' '), i, $w), ' ')),
+    // `ts` projected first (same rationale as [[shingles]]): the interpreted
+    // lambda otherwise re-splits the document once per window position
+    val winHashes = when(size(col("ts")) >= w, expr(
+      s"""transform(sequence(1, size(ts) - ${w - 1}),
+         |  i -> cast(conv(substring(md5(array_join(slice(ts, i, $w), ' ')),
          |                 1, 15), 16, 10) as bigint))""".stripMargin))
       .otherwise(expr("cast(array() as array<bigint>)"))
     val wins = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("h"))
     val dupKeys = wins.groupBy(col("h"))

@@ -335,7 +335,11 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame, n: Int = 5,
       evalMod: Long = 97L, evalRem: Long = 3L): DataFrame = {
-    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // spreadSmall: the shingle generation runs map-side on the corpus scan,
+    // which for a small input is 1–3 tasks (see Dedup.spreadSmall)
+    val corpus = Dedup.spreadSmall(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      col("doc_id"))
     val sh = Dedup.shingles(corpus, n)
     val ev = sh.where(pmod(col("doc_id"), lit(evalMod)) === evalRem)
       .select(col("doc_id").as("eval_id"), col("s"))
