@@ -23,9 +23,13 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val (plansDir, names0) = args.toList match {
+    val (plansDir, names1) = args.toList match {
       case "--plans" :: dir :: rest => (Some(dir), rest)
       case rest => (None, rest)
+    }
+    val (stageDetail, names0) = names1 match {
+      case "--stages" :: rest => (true, rest)
+      case rest => (false, rest)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,11 +48,22 @@ object BenchExtra {
     val gcTimeMs = new AtomicLong
     val shufReadB = new AtomicLong
     val shufWriteB = new AtomicLong
+    // per-stage rollup for --stages: (name, numTasks, taskSumMs)
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val i = s.stageInfo
+        val run = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+        // the short name is usually the AQE pool callsite; the long-form
+        // details carry the user stack — surface the first graft frame
+        val site = i.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("BenchExtra"))
+          .getOrElse(i.name).trim
+        stageRows.add((site, i.numTasks, run))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -78,6 +93,7 @@ object BenchExtra {
       spark.catalog.clearCache()
       jobs.set(0); stages.set(0); tasks.set(0)
       taskTimeMs.set(0); gcTimeMs.set(0); shufReadB.set(0); shufWriteB.set(0)
+      stageRows.clear()
       spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
@@ -90,6 +106,14 @@ object BenchExtra {
         f"jobs=${jobs.get}%3d stages=${stages.get}%4d tasks=${tasks.get}%5d " +
         f"taskSum=${taskTimeMs.get / 1000.0}%8.2f s gc=${gcTimeMs.get / 1000.0}%6.2f s " +
         f"shufR=${shufReadB.get / 1e6}%8.1f MB shufW=${shufWriteB.get / 1e6}%8.1f MB")
+      if (stageDetail) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+          case (nm, nt, run) =>
+            println(f"[stage]   ${run / 1000.0}%7.2f s  $nt%4d tasks  " +
+              nm.linesIterator.next().take(110))
+        }
+      }
     }
     spark.stop()
   }

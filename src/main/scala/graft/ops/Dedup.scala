@@ -242,15 +242,26 @@ object Dedup {
     */
   private[graft] def verifyJaccard(
       cands: DataFrame, sh: DataFrame, numer: Int, denom: Int): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Candidate verification as ONE row per (pair, side), not one row per
+    // (pair, shingle): the old shape joined cands against the shingle
+    // relation on each side and hash-joined (b, s) keys — ~2·|sh_doc| rows
+    // through two joins and an aggregation PER CANDIDATE (the measured 75%
+    // of minhashLsh/dupClusters wall at sf0.1: 8.9 s of 10.5). Folding each
+    // rep's distinct shingles into one array (bounded by tokens-per-doc — a
+    // per-row payload, the cutPassages precedent) turns that into two
+    // rep-keyed equi-joins moving ONE array row per side and a row-local
+    // array_intersect. common = |sa ∩ sb| over distinct-element arrays and
+    // union_ = |sa| + |sb| − common are exactly the old count/count-sum
+    // values; intersection cardinality is order-free, so the nondeterminism
+    // of collect_list order never reaches the output.
+    val arr = sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("ss"))
     cands
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("s", "sa"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("s", "sb"), "b")
-      .where(col("sa") === col("sb"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-      .withColumn("union_", col("na") + col("nb") - col("common"))
+      .join(arr.select(col("doc_id").as("a"), col("ss").as("sa")), "a")
+      .join(arr.select(col("doc_id").as("b"), col("ss").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("nanb"))
+      .withColumn("union_", col("nanb") - col("common"))
       .where(col("common") * denom >= col("union_") * numer)
       .select(col("a"), col("b"), col("common"), col("union_"))
   }
@@ -416,11 +427,29 @@ object Dedup {
     // the SAME distribution the candidate self-join needs, so the exchange
     // is built once and reused rather than adding a shuffle
     val buckets = cappedBuckets(bandBuckets(sh, bands, rows, portable), maxBucket)
-    buckets.as("x").join(buckets.as("y"),
+    val pairs = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // rows == 1 is the OR-of-k-singles geometry: "any ONE of k min-hashes
+    // agrees" admits a candidate, and a single agreeing min-hash between
+    // UNRELATED texts is common (any shared shingle can become both
+    // minima) — measured at sf0.1: 596k candidate pairs of which 84%
+    // collide in exactly one band and verify discards all of them (the
+    // true J ≥ 1/2 pairs collide in ≥ 8). Requiring TWO agreeing hashes
+    // keeps the geometry recall-exact in the same sense as before — miss
+    // probability (1−J)^k + k·J·(1−J)^(k−1) ≤ 4e-9 at J = 1/2, k = 32,
+    // decreasing in J — while cutting candidate noise ~6× before the
+    // verify join (the operator's dominant cost). The count is per
+    // distinct band by construction (one bucket per band per doc), and
+    // the groupBy replaces the old distinct on the SAME (a, b) exchange —
+    // no extra shuffle. Banded geometries (rows ≥ 2) keep ≥ 1: their AND-
+    // composition already suppresses noise, and the portable 16x2 oracle
+    // replicates exactly that ≥ 1 mechanics in SQL.
+    if (rows == 1)
+      pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nb"))
+        .where(col("nb") >= 2).select(col("a"), col("b"))
+    else pairs.distinct()
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified at token-3-gram Jaccard >=
@@ -429,9 +458,11 @@ object Dedup {
     * expands back to member pairs.
     *
     * Band geometry: precision is always exact (verify step), so the only
-    * tunable is recall-vs-candidate-noise. Default (bands=32, rows=1) makes a
-    * J>=0.5 pair's miss probability (1-J)^32 <= 2.4e-10 — effectively exact,
-    * which is what lets that query share the brute-force DuckDB oracle. The
+    * tunable is recall-vs-candidate-noise. Default (bands=32, rows=1) with
+    * the ≥2-agreeing-hashes candidate rule ([[lshCandidates]]) makes a
+    * J>=0.5 pair's miss probability (1-J)^32 + 32·J·(1-J)^31 <= 4e-9 —
+    * effectively exact, which is what lets that query share the
+    * brute-force DuckDB oracle. The
     * production geometry at web scale is (16, 2): P(candidate | J) =
     * 1-(1-J²)^16, i.e. ~1% miss at J=0.5 but ~26x less candidate noise from
     * low-J pairs — registered as `dedup_minhash_lsh_16x2` with
