@@ -50,11 +50,16 @@ object ConnectedComponents {
     * m(u) = min(N(u) ∪ {u}).
     */
   private def smallStar(edges: DataFrame): DataFrame = {
+    // no input distinct (same rationale as [[largeStar]]'s dropped output
+    // distinct): duplicate oriented edges change neither the groupBy-min
+    // nor the final output set — the ONE distinct on the round's output
+    // below provides the set semantics the convergence probe needs, and
+    // dropping the input-side one removes another Exchange+agg per round.
+    // Duplicate volume is bounded by largeStar's ≤|e| output.
     val dir = edges
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
     val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
     val relinked = dir.join(mins, "src")
       .select(col("dst").as("src"), col("m").as("dst"))

@@ -410,12 +410,23 @@ object TextOps {
     val corpus = Dedup.derivedCorpus(docs)
     val stats = quality(corpus).select("doc_id", "n_tokens", "quality_e4")
     val lang = predLang(corpus).select("doc_id", "pred_lang")
-    val kept = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // the gate output is PINNED (eager DISK_ONLY localCheckpoint — the
+    // GraphOps.pin primitive): dupClusters consumes `kept` through several
+    // relations across TWO actions (collapse/shingles/signatures during the
+    // CC materialization, survivor sizes in the final action), and each
+    // un-pinned consumer re-ran the whole gate — quality scan, predLang
+    // trigram explode + broadcast join + two hash-aggs — measured ~5
+    // re-derivations, the dominant curate_corpus cost after the verify
+    // rewrite. The checkpoint is gate-OUTPUT-sized (survivors only), always
+    // smaller than the corpus passes it avoids, so unlike the size-aware
+    // shingle checkpoint this is the right trade at every scale.
+    val kept = graft.kg.graph.GraphOps.pin(
+      corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .join(stats, "doc_id")
       .join(lang, Seq("doc_id"), "left")
       .withColumn("pred_lang", coalesce(col("pred_lang"), lit("unknown")))
       .where(col("quality_e4") >= minQualityE4 &&
-        col("pred_lang").isin(langs.map(x => x: Any): _*))
+        col("pred_lang").isin(langs.map(x => x: Any): _*)))
     val keepers = Dedup.dupClusters(kept.select(col("doc_id"), col("text")))
       .where(col("is_dup") === 0L).select("doc_id")
     kept.join(keepers, "doc_id")
