@@ -492,16 +492,24 @@ object IncrementalDedup {
     // bucket pin on the sf0.1 critical path)
     val np = bReps.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
+    // pin census, re-measured after the round-7 verify/shingle rework
+    // (each pin is an eager job on the fold's SEQUENTIAL critical path, so
+    // a pin earns its keep only while the recompute it avoids costs more):
+    //  - newSh stays pinned: three consumers (sizes in the decision
+    //    action, buckets and the verify union in the pin chain), and the
+    //    shingle explode is still the chain's densest map work;
+    //  - newBuckets stays pinned: the signature agg (k hashes per
+    //    shingle) would otherwise materialize under both the broadcast-key
+    //    future and the candidate join;
+    //  - cands UNPINNED: its two consumers (verify probe, candIds
+    //    broadcast) sit in the SAME action as the newPairs pin, and the
+    //    explicit repartition exchange below is reused within that action
+    //    — the pin bought nothing but its own eager job;
+    //  - verifySh UNPINNED: the array-intersection verify folds it into
+    //    per-rep arrays ONCE (single consumer — the old row-level verify
+    //    read it three times, which is what justified the pin).
     val newSh = pinned(shinglesOf(newReps).repartition(np, col("doc_id")))
     val newSizes = Dedup.repShingleSizes(newSh)
-    // pinned: the signature derivation (32 hashes per shingle — the
-    // chain's most CPU-dense stage) otherwise materializes TWICE, once
-    // under the broadcast-key future and once for the candidate join
-    // (measured: two identical 2.3 s-CPU stages at sf0.1). Same pattern
-    // for cands (feeds the verify probe AND the candIds broadcast) and
-    // verifySh (read by both verify join sides + the size agg, where an
-    // AQE-coalesced exchange defeats ReuseExchange) — every fan-out point
-    // of the chain is materialized exactly once.
     val newBuckets = pinned(Dedup.bandBuckets(newSh, bands, rows, portable = false)
       .withColumnRenamed("doc_id", "rep_id")
       .repartition(np, col("band"), col("bucket")))
@@ -510,13 +518,13 @@ object IncrementalDedup {
         Seq("band", "bucket"), "left_semi")
       .unionByName(newBuckets.withColumn("is_new", lit(true)))
     val capped = Dedup.cappedBuckets(touched, maxBucket)
-    val cands = pinned(capped.as("x").join(capped.as("y"),
+    val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.rep_id") < col("y.rep_id") &&
           (col("x.is_new") || col("y.is_new")))
       .select(col("x.rep_id").as("a"), col("y.rep_id").as("b"))
       .distinct()
-      .repartition(np, col("a")))
+      .repartition(np, col("a"))
     // verify needs shingle sets for both sides: new reps have them already;
     // base reps are shingled ONLY if they are candidates (semi-join) — the
     // base corpus is never re-derived wholesale
@@ -525,7 +533,7 @@ object IncrementalDedup {
     val baseCandSh = shinglesOf(
       bReps.join(broadcast(candIds), Seq("rep_id"), "left_semi")
         .select("rep_id", "text"))
-    val verifySh = pinned(newSh.unionByName(baseCandSh))
+    val verifySh = newSh.unionByName(baseCandSh)
     // pinned: the incremental-CC consumer reads the pair delta in two
     // actions (the touched-component resolution inside the iterations and
     // the untouched-label passthrough in the decision action) — unpinned,
