@@ -191,8 +191,12 @@ object HtmlSpans {
       s"IF(($always) OR $buf RLIKE '\\\\S', " +
         s"concat($out, chr(30), ${kindOf(stk)}, chr(31), " +
         s"translate(${unesc(buf)}, chr(30) || chr(31), ''), chr(31)), $out)"
-    // '' for text runs; tag name lowercased for tag events
-    val tag = "lower(regexp_extract(e, '^</?([a-zA-Z][a-zA-Z0-9]*)', 1))"
+    // '' for text runs; tag name lowercased for tag events. The fold reads
+    // these from the PRE-TOKENIZED event struct (`e.tag` etc.): the step
+    // expression references the tag in up to six places per event, and in
+    // the interpreted fold each reference would re-run its regexp — the
+    // same per-element re-evaluation pathology as the split() hoists.
+    val tag = "e.tag"
     // open-branch auto-close: any block open pops a top <p>; a new <li>
     // additionally pops a top <li>
     val s1 = "IF(try_element_at(acc.stk, -1) = 'p', " +
@@ -221,19 +225,17 @@ object HtmlSpans {
     val zero = "named_struct('stk', cast(array() AS array<string>), " +
       "'buf', '', 'fresh', false, 'out', '')"
     val step = s"""CASE
-      WHEN NOT e RLIKE '^</?[a-zA-Z]' THEN
-        named_struct('stk', acc.stk, 'buf', acc.buf || e,
+      WHEN e.txt IS NOT NULL THEN
+        named_struct('stk', acc.stk, 'buf', acc.buf || e.txt,
           'fresh', acc.fresh, 'out', acc.out)
-      WHEN $tag = 'img' AND NOT e LIKE '</%' THEN
-        IF(e RLIKE 'src="',
+      WHEN $tag = 'img' AND NOT e.close THEN
+        IF(e.hassrc,
           named_struct('stk', acc.stk, 'buf', '', 'fresh', false,
             'out', concat(${flushed("acc.stk", "acc.buf", "acc.out", openAlw)},
-              chr(30), 'media', chr(31), chr(31),
-              translate(replace(replace(regexp_extract(e, 'src="([^"]*)"', 1),
-                '&quot;', '"'), '&amp;', '&'), chr(30) || chr(31), ''))),
+              chr(30), 'media', chr(31), chr(31), e.src)),
           acc)
       WHEN NOT $tag IN $Block THEN acc
-      WHEN e LIKE '</%' THEN IF($pos = 0, acc, named_struct(
+      WHEN e.close THEN IF($pos = 0, acc, named_struct(
         'stk', slice(acc.stk, 1, size(acc.stk) - cast($pos AS INT)),
         'buf', '', 'fresh', false,
         'out', ${flushed("acc.stk", "acc.buf", "acc.out",
@@ -254,8 +256,25 @@ object HtmlSpans {
       "'text', element_at(split(rec, chr(31)), 2), " +
       "'media_ref', element_at(split(rec, chr(31)), 3), " +
       "'offset', cast(i AS INT)))"
-    val sql = s"aggregate(regexp_extract_all($pre, " +
-      s"'(?s)</?[a-zA-Z][^>]*>|[^<]+|<', 0), $zero, (acc, e) -> $step, $finish)"
+    // PRE-TOKENIZED event stream: each raw event is classified ONCE into
+    // (txt, tag, close, hassrc, src) before the fold — the step expression
+    // reads plain struct fields instead of re-running its tag/src regexes
+    // at every one of its (up to six) references per event in the
+    // interpreted fold. Two transform passes: the second derives the
+    // img-src fields from the first's tag/close so the src regex runs only
+    // on img-open events.
+    val tok = s"transform(transform(regexp_extract_all($pre, " +
+      "'(?s)</?[a-zA-Z][^>]*>|[^<]+|<', 0), r -> named_struct(" +
+      "'r', r, " +
+      "'txt', IF(r RLIKE '^</?[a-zA-Z]', CAST(NULL AS STRING), r), " +
+      "'tag', lower(regexp_extract(r, '^</?([a-zA-Z][a-zA-Z0-9]*)', 1)), " +
+      "'close', r LIKE '</%')), " +
+      "v -> named_struct('txt', v.txt, 'tag', v.tag, 'close', v.close, " +
+      "'hassrc', v.tag = 'img' AND NOT v.close AND v.r RLIKE 'src=\"', " +
+      "'src', IF(v.tag = 'img' AND NOT v.close AND v.r RLIKE 'src=\"', " +
+      "translate(replace(replace(regexp_extract(v.r, 'src=\"([^\"]*)\"', 1), " +
+      "'&quot;', '\"'), '&amp;', '&'), chr(30) || chr(31), ''), '')))"
+    val sql = s"aggregate($tok, $zero, (acc, e) -> $step, $finish)"
     html.select(col("doc_id"), expr(sql).as("spans"))
   }
 
@@ -323,6 +342,9 @@ object HtmlSpans {
     // doc_id string-cast in a SECOND select: aliasing the cast alongside
     // expressions that reference col("doc_id") would rebind them laterally
     // (the SyntheticCorpus.fromDocuments gotcha)
+    // spreadSmall: both flatteners run their (interpreted, CPU-dense) HOF
+    // work map-side over this scan, which for the small driver file is
+    // 1–3 tasks (see Dedup.spreadSmall — no-op above the size threshold)
     docs
       .select(d, col("source"), split(col("text"), " ").as("ts"))
       .select(d, concat_ws("\n", title,

@@ -261,11 +261,14 @@ object Sampling {
   def weightedTopK(docs: DataFrame, k: Int = 40, salts: Int = 16): DataFrame =
     saltedBottomK(
       docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
-          // token count via the shared nTokens guard; NULL text → NULL,
-          // and greatest picks the 1 floor (greatest ignores NULLs in
-          // Spark AND DuckDB — identical minimum weight). floor(x/20) on
-          // exact-integer doubles < 2^53 equals integer div 20.
-          least(greatest(floor(nTokens / lit(20)).cast("long"), lit(1L)),
+          nTokens.as("n_tokens"))
+        // token count via the shared nTokens guard; NULL text → NULL, and
+        // greatest picks the 1 floor (greatest ignores NULLs in Spark AND
+        // DuckDB — identical minimum weight). Integer `div` directly (not
+        // floor(x/20.0)): unconditionally exact for every long, no float
+        // round-trip (round-6 advice item).
+        .select(col("doc_id"), col("lang"),
+          least(greatest(expr("n_tokens div 20"), lit(1L)),
             lit(8L)).as("weight"))
         .withColumn("skey", wsmpKey),
       keyCol = "skey", k = k, salts = salts)
