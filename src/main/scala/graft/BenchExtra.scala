@@ -23,13 +23,17 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val (plansDir, names1) = args.toList match {
-      case "--plans" :: dir :: rest => (Some(dir), rest)
-      case rest => (None, rest)
-    }
-    val (stageDetail, names0) = names1 match {
-      case "--stages" :: rest => (true, rest)
-      case rest => (false, rest)
+    // order-independent flag parse: --plans <dir> and --stages may appear
+    // in either order, anywhere before the query names
+    var plansDir: Option[String] = None
+    var stageDetail = false
+    var names0 = List.empty[String]
+    var rest = args.toList
+    while (rest.nonEmpty) rest match {
+      case "--plans" :: dir :: tail => plansDir = Some(dir); rest = tail
+      case "--stages" :: tail => stageDetail = true; rest = tail
+      case q :: tail => names0 = names0 :+ q; rest = tail
+      case Nil => ()
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

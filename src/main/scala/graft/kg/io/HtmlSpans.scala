@@ -342,9 +342,10 @@ object HtmlSpans {
     // doc_id string-cast in a SECOND select: aliasing the cast alongside
     // expressions that reference col("doc_id") would rebind them laterally
     // (the SyntheticCorpus.fromDocuments gotcha)
-    // spreadSmall: both flatteners run their (interpreted, CPU-dense) HOF
-    // work map-side over this scan, which for the small driver file is
-    // 1–3 tasks (see Dedup.spreadSmall — no-op above the size threshold)
+    // NO spreadSmall here (deliberate, A/B-measured): both flatteners are
+    // driver-bound at harness scale (plan analysis of the giant fold
+    // expression), so spreading the 1–3 scan tasks did not move wall and
+    // only added an exchange — see OPTIMIZATION_r07.md C10.
     docs
       .select(d, col("source"), split(col("text"), " ").as("ts"))
       .select(d, concat_ws("\n", title,

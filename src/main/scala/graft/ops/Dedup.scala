@@ -431,26 +431,41 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    // rows == 1 is the OR-of-k-singles geometry: "any ONE of k min-hashes
-    // agrees" admits a candidate, and a single agreeing min-hash between
-    // UNRELATED texts is common (any shared shingle can become both
-    // minima) — measured at sf0.1: 596k candidate pairs of which 84%
-    // collide in exactly one band and verify discards all of them (the
-    // true J ≥ 1/2 pairs collide in ≥ 8). Requiring TWO agreeing hashes
-    // keeps the geometry recall-exact in the same sense as before — miss
-    // probability (1−J)^k + k·J·(1−J)^(k−1) ≤ 4e-9 at J = 1/2, k = 32,
-    // decreasing in J — while cutting candidate noise ~6× before the
-    // verify join (the operator's dominant cost). The count is per
-    // distinct band by construction (one bucket per band per doc), and
-    // the groupBy replaces the old distinct on the SAME (a, b) exchange —
-    // no extra shuffle. Banded geometries (rows ≥ 2) keep ≥ 1: their AND-
-    // composition already suppresses noise, and the portable 16x2 oracle
-    // replicates exactly that ≥ 1 mechanics in SQL.
-    if (rows == 1)
+    if (minBandCollisions(bands, rows) >= 2)
       pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nb"))
-        .where(col("nb") >= 2).select(col("a"), col("b"))
+        .where(col("nb") >= minBandCollisions(bands, rows))
+        .select(col("a"), col("b"))
     else pairs.distinct()
   }
+
+  /** Candidate ADMISSION rule shared by the from-scratch candidate join
+    * above and [[IncrementalDedup]]'s fold (both sides MUST use the same
+    * rule or the documented from-scratch ≡ incremental identity breaks on
+    * a pair admitted by one and not the other).
+    *
+    * rows == 1 is the OR-of-k-singles geometry: "any ONE of k min-hashes
+    * agrees" admits a candidate, and a single agreeing min-hash between
+    * UNRELATED texts is common (any shared shingle can become both
+    * minima) — measured at sf0.1: 596k candidate pairs of which 84%
+    * collide in exactly one band and verify discards all of them (the
+    * true J ≥ 1/2 pairs collide in ≥ 8). Requiring TWO agreeing hashes
+    * keeps the geometry recall-exact in the same sense as before — miss
+    * probability (1−J)^k + k·J·(1−J)^(k−1) ≤ 7.7e-9 at J = 1/2, k = 32,
+    * decreasing in J and in k — while cutting candidate noise ~6× before
+    * the verify join (the operator's dominant cost). GUARDED at k ≥ 32:
+    * for small k the same formula is nowhere near exact (k = 4 at J = 1/2
+    * misses 31% of true pairs), and k = 1 would return zero candidates —
+    * any other geometry keeps the proven ≥ 1 rule. Banded geometries
+    * (rows ≥ 2) always keep ≥ 1: their AND-composition already
+    * suppresses noise, and the portable 16x2 oracle replicates exactly
+    * that ≥ 1 mechanics in SQL. Capped-regime caveat: collisions are
+    * counted over CAP-SURVIVING buckets, so where maxBucket binds (it
+    * binds on no harness bucket) a true pair needs two surviving bands
+    * where the old rule needed one — size k and maxBucket together when
+    * tuning for a boilerplate-heavy corpus.
+    */
+  private[graft] def minBandCollisions(bands: Int, rows: Int): Int =
+    if (rows == 1 && bands >= 32) 2 else 1
 
   /** MinHash+LSH near-dup pairs, exact-verified at token-3-gram Jaccard >=
     * numer/denom. Runs entirely on exact-collapsed representatives
@@ -459,8 +474,8 @@ object Dedup {
     *
     * Band geometry: precision is always exact (verify step), so the only
     * tunable is recall-vs-candidate-noise. Default (bands=32, rows=1) with
-    * the ≥2-agreeing-hashes candidate rule ([[lshCandidates]]) makes a
-    * J>=0.5 pair's miss probability (1-J)^32 + 32·J·(1-J)^31 <= 4e-9 —
+    * the ≥2-agreeing-hashes candidate rule ([[minBandCollisions]]) makes a
+    * J>=0.5 pair's miss probability (1-J)^32 + 32·J·(1-J)^31 <= 7.7e-9 —
     * effectively exact, which is what lets that query share the
     * brute-force DuckDB oracle. The
     * production geometry at web scale is (16, 2): P(candidate | J) =

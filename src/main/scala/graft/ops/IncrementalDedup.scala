@@ -518,12 +518,23 @@ object IncrementalDedup {
         Seq("band", "bucket"), "left_semi")
       .unionByName(newBuckets.withColumn("is_new", lit(true)))
     val capped = Dedup.cappedBuckets(touched, maxBucket)
-    val cands = capped.as("x").join(capped.as("y"),
+    val candPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.rep_id") < col("y.rep_id") &&
           (col("x.is_new") || col("y.is_new")))
       .select(col("x.rep_id").as("a"), col("y.rep_id").as("b"))
-      .distinct()
+    // candidate ADMISSION must match the from-scratch rule exactly
+    // (Dedup.minBandCollisions — ≥2 agreeing bands for the 32x1 geometry):
+    // a pair admitted by one side and not the other would break the
+    // documented incremental ≡ from-scratch decision identity. The count
+    // is complete here even though only TOUCHED buckets are joined: every
+    // admissible pair has a new-rep side, and every one of its co-buckets
+    // contains that new rep's key — so all of them are in the touched set.
+    val minColl = Dedup.minBandCollisions(bands, rows)
+    val cands = (if (minColl >= 2)
+        candPairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nb"))
+          .where(col("nb") >= minColl).select(col("a"), col("b"))
+      else candPairs.distinct())
       .repartition(np, col("a"))
     // verify needs shingle sets for both sides: new reps have them already;
     // base reps are shingled ONLY if they are candidates (semi-join) — the

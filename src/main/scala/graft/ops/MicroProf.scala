@@ -62,7 +62,10 @@ object MicroProf {
       val repsDocs = reps.select(col("rep_id").as("doc_id"), col("text"))
       t("shingles(reps)")(Dedup.shingles(repsDocs))
       val sh = Dedup.shingles(repsDocs)
-      t("signatures32(sh)")(Dedup.minhashSignatures(repsDocs))
+      // label says incl.shingles: minhashSignatures re-derives the shingle
+      // relation internally, so this row = shingles + the 32-hash agg (the
+      // agg alone ≈ this row minus the row above)
+      t("sig32(incl. shingles)")(Dedup.minhashSignatures(repsDocs))
       t("lshCandidates32x1")(
         Dedup.lshCandidates(sh, 32, 1, portable = false, 1000))
       t("verify(cands)")(Dedup.verifyJaccard(
